@@ -1,0 +1,296 @@
+"""CdxQuery — the reference's query surface as a Catalyst plan builder.
+
+Maps cdx_toolkit's CDXFetcher.iter/get semantics
+(/root/reference/cdx_toolkit/__init__.py:157-342) onto declarative DataFrame
+expressions. Nothing here executes; every method only *composes* a plan, so
+Catalyst gets the whole tree for predicate pushdown, column pruning,
+partition pruning (crawl), and limit short-circuiting.
+
+Operator parity map (SURVEY.md §2):
+  P-3/P-4 filter dialects -> parse_filter / Column predicates
+  P-5 match types          -> urlkey equality / prefix (sort-key friendly)
+  P-6 time window          -> fixed-width string range on `timestamp`
+  P-8 revisits             -> mime == 'warc/revisit'
+  A-2 limit                -> .limit (CollectLimit short-circuits scans)
+  A-3/A-4 ordering         -> asc (urlkey, timestamp) / 'mixed' crawl-desc
+  A-5/J-3 closest          -> real-time distance rank (UTC)
+  A-7 collapse             -> row_number over urlkey window
+  A-1 size estimate        -> count aggregates
+
+At 100 TB these choices matter: the time window is a *string* range over a
+fixed-width digit column (min/max row-group skipping works, no cast on the
+scan side); match types become range predicates on the table's sort key
+(urlkey), so an Iceberg table sorted by urlkey turns them into file-level
+skips, mirroring how real CDX indexes serve prefix queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from . import planner
+from .compat import munge_filter
+from .surt import surt
+from .timeutils import (
+    pad_timestamp,
+    pad_timestamp_up,
+    timestamp_to_time,
+    validate_timestamps,
+)
+
+_FILTER_RE = re.compile(r"^(!~|!=|!|=|~)?([a-zA-Z_][\w-]*):(.*)$", re.S)
+
+
+def parse_filter(f: str):
+    """'[modifier]field:expression' -> (modifier, field, expression)."""
+    m = _FILTER_RE.match(f)
+    if not m:
+        raise ValueError("cannot parse filter: " + f)
+    return (m.group(1) or "", m.group(2), m.group(3))
+
+
+def filter_to_predicate(f: str, dialect: str = "cc") -> Column:
+    """One CDX filter -> one Column predicate.
+
+    pywb ('cc') modifiers: '' substring, '=' exact, '~' full-match regex,
+    '!', '!=', '!~' inversions (reference README.md:155-176).
+    'ia' dialect: bare = full-match regex, '!' = inverted regex.
+    """
+    mod, field, expr = parse_filter(f)
+    c = F.col(field)
+    if dialect == "ia":
+        if mod in ("=", "!=", "~", "!~"):
+            raise ValueError("ia does not support the filter " + mod)
+        pred = c.rlike("^(?:" + expr + ")$")
+        return ~pred if mod == "!" else pred
+    if mod in ("", "!"):
+        pred = c.contains(expr)
+    elif mod in ("=", "!="):
+        pred = c == F.lit(expr)
+    else:  # '~', '!~'
+        pred = c.rlike("^(?:" + expr + ")$")
+    return ~pred if mod.startswith("!") else pred
+
+
+def url_match_predicate(url: str) -> Column:
+    """Reference match types (README.md:194-198) as urlkey predicates:
+    '*.example.com' -> domain (SURT subtree), 'example.com/*' -> prefix,
+    plain -> exact (SURT equality, so www./scheme variants match)."""
+    uk = F.col("urlkey")
+    if url.startswith("*."):
+        dom = surt("http://" + url[2:])
+        stem = dom.split(")", 1)[0]
+        return uk.startswith(stem + ")") | uk.startswith(stem + ",")
+    if url.endswith("*"):
+        stem = surt(
+            url[:-1] if "://" in url[:-1] else "http://" + url[:-1]
+        ).rstrip("/")
+        # 'com,example)' prefix covers both ')/...' paths and root
+        return uk.startswith(stem)
+    key = surt(url if "://" in url else "http://" + url)
+    return uk == F.lit(key)
+
+
+class CdxQuery:
+    """Plan builder over a capture DataFrame (see cdx_view.CDX_COLUMNS)."""
+
+    def __init__(self, captures: DataFrame, dialect: str = "cc"):
+        self.captures = captures
+        self.dialect = dialect
+
+    # -- core composition -----------------------------------------------
+
+    def _window_pred(self, from_ts, to) -> Column | None:
+        pred = None
+        if from_ts is not None:
+            pred = F.col("timestamp") >= pad_timestamp(str(from_ts))
+        if to is not None:
+            hi = F.col("timestamp") <= pad_timestamp_up(str(to))
+            pred = hi if pred is None else (pred & hi)
+        return pred
+
+    def _crawl_list(self):
+        return [
+            r["crawl"]
+            for r in self.captures.select("crawl").distinct().collect()
+        ]
+
+    def build(
+        self,
+        url: str,
+        from_ts=None,
+        to=None,
+        closest=None,
+        filter=None,
+        crawl=None,
+        cc_sort: str = "mixed",
+        apply_defaults: bool = True,
+    ) -> DataFrame:
+        """Compose predicates + crawl pruning; returns the unordered,
+        un-limited plan (callers add ordering/limit per entry point)."""
+        params = {"from_ts": from_ts, "to": to, "closest": closest}
+        validate_timestamps({k: v for k, v in params.items() if v is not None})
+        if apply_defaults:
+            planner.apply_cc_defaults(params, crawl_present=crawl is not None)
+
+        df = self.captures.where(url_match_predicate(url))
+
+        # crawl (partition) pruning — reference endpoint selection semantics,
+        # including the deliberate ±1-index bisect slop (planner.bisect_cc)
+        if crawl is not None:
+            names = planner.match_cc_crawls(
+                [str(c) for c in crawl] if isinstance(crawl, (list, tuple))
+                else [str(crawl)],
+                sorted(self._crawl_list()),
+            )
+            df = df.where(F.col("crawl").isin(names))
+        elif params.get("from_ts") or params.get("to"):
+            cc_map, cc_times = planner.make_cc_maps(sorted(self._crawl_list()))
+            if cc_times:
+                from_t = (
+                    timestamp_to_time(str(params["from_ts"]))
+                    if params.get("from_ts")
+                    else cc_times[0]
+                )
+                to_t = (
+                    timestamp_to_time(pad_timestamp_up(str(params["to"])))
+                    if params.get("to")
+                    else None
+                )
+                names = planner.bisect_cc(cc_map, cc_times, from_t, to_t)
+                if names:
+                    df = df.where(F.col("crawl").isin(names))
+
+        pred = self._window_pred(params.get("from_ts"), params.get("to"))
+        if pred is not None:
+            df = df.where(pred)
+
+        for f in munge_filter(list(filter or []), self.dialect):
+            df = df.where(filter_to_predicate(f, self.dialect))
+
+        if cc_sort not in ("ascending", "mixed"):
+            raise ValueError("unknown cc_sort arg of " + cc_sort)
+        return df
+
+    # -- entry points ----------------------------------------------------
+
+    def iter(
+        self,
+        url: str,
+        from_ts=None,
+        to=None,
+        filter=None,
+        crawl=None,
+        limit=None,
+        cc_sort: str = "mixed",
+        fields=None,
+    ) -> DataFrame:
+        """Paged-iteration semantics: full ordered stream, optional limit.
+
+        'mixed' = newest crawl first, ascending (urlkey, timestamp) within
+        (reference README.md:243-257); 'ascending' = plain ascending.
+        doc_id is the deterministic final tie-break.
+        """
+        df = self.build(
+            url, from_ts=from_ts, to=to, filter=filter, crawl=crawl,
+            cc_sort=cc_sort,
+        )
+        order = (
+            [F.col("crawl").desc()] if cc_sort == "mixed" else []
+        ) + [F.col("urlkey").asc(), F.col("timestamp").asc(), F.col("doc_id").asc()]
+        df = df.orderBy(*order)
+        if limit is not None:
+            df = df.limit(int(limit))
+        if fields:
+            df = df.select(*[f for f in fields if f in df.columns])
+        return df
+
+    def get(
+        self,
+        url: str,
+        from_ts=None,
+        to=None,
+        closest=None,
+        filter=None,
+        crawl=None,
+        limit=None,
+        cc_sort: str = "mixed",
+    ) -> DataFrame:
+        """One-shot semantics: default limit 1000 (reference
+        __init__.py:274-276); closest -> distance-ordered."""
+        if limit is None:
+            limit = 1000
+        df = self.build(
+            url, from_ts=from_ts, to=to, closest=closest, filter=filter,
+            crawl=crawl, cc_sort=cc_sort,
+        )
+        if closest is not None:
+            target = timestamp_to_time(pad_timestamp(str(closest)))
+            dist = F.abs(
+                F.unix_timestamp(
+                    F.to_timestamp("timestamp", "yyyyMMddHHmmss")
+                ) - F.lit(int(target))
+            )
+            df = df.orderBy(
+                dist.asc(), F.col("timestamp").asc(), F.col("doc_id").asc()
+            )
+        else:
+            order = (
+                [F.col("crawl").desc()] if cc_sort == "mixed" else []
+            ) + [
+                F.col("urlkey").asc(),
+                F.col("timestamp").asc(),
+                F.col("doc_id").asc(),
+            ]
+            df = df.orderBy(*order)
+        return df.limit(int(limit))
+
+    # -- derived operators -------------------------------------------------
+
+    def closest_per_urlkey(self, url: str, closest, **kw) -> DataFrame:
+        """As-of variant of J-3: nearest capture per urlkey (window rank)."""
+        df = self.build(url, closest=closest, **kw)
+        target = timestamp_to_time(pad_timestamp(str(closest)))
+        dist = F.abs(
+            F.unix_timestamp(F.to_timestamp("timestamp", "yyyyMMddHHmmss"))
+            - F.lit(int(target))
+        )
+        w = Window.partitionBy("urlkey").orderBy(
+            dist.asc(), F.col("timestamp").asc(), F.col("doc_id").asc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def collapse(self, url: str, field: str = "urlkey", **kw) -> DataFrame:
+        """collapse= semantics (A-7): first capture per key, ordered by
+        (timestamp, doc_id) within the key."""
+        df = self.build(url, **kw)
+        w = Window.partitionBy(field).orderBy(
+            F.col("timestamp").asc(), F.col("doc_id").asc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def size_estimate(self, url: str, **kw) -> DataFrame:
+        """A-1: exact capture count + distinct urlkeys. (At cluster scale the
+        cheap path is Iceberg manifest record_count — no scan; locally we
+        count. Both are exact.)"""
+        df = self.build(url, **kw)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.countDistinct("urlkey").alias("n_urls"),
+        )
+
+    def revisits(self, url: str, **kw) -> DataFrame:
+        """P-8: revisit records (mime == 'warc/revisit', status '-')."""
+        return self.build(url, **kw).where(F.col("mime") == "warc/revisit")

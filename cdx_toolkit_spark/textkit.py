@@ -1,0 +1,118 @@
+"""Text extraction / digest / analysis kernels.
+
+- ``text_from_html_udf``: the per-row invariant from BASELINE.json
+  input_hint — `text` MUST be byte-identical to Python's
+  ``html.decode('utf-8', errors='replace')`` (reference
+  /root/reference/cdx_toolkit/__init__.py:129-134). We therefore define the
+  kernel *as* that expression, Arrow-batched via pandas_udf. Spark's builtin
+  ``decode(col,'UTF-8')`` has different malformed-byte behavior, so it is
+  deliberately NOT used.
+- ``digest_b32_col``: Common-Crawl-style content digest — SHA-1 computed
+  JVM-side (``F.sha1`` inside codegen), then a constant-size hex->base32
+  re-encode in an Arrow batch (reference README.md:233-235).
+- Analysis kernels (token count, quality score, language guess, fingerprint)
+  are pure built-in Column expressions: JVM codegen, no Python, and each has
+  a portable ANSI-SQL twin used by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+@pandas_udf(StringType())
+def text_from_html_udf(html: pd.Series) -> pd.Series:
+    """bytes -> str via utf-8 errors='replace' (U+FFFD insertion), the exact
+    reference decode. Arrow-batched; None-safe."""
+    return html.map(
+        lambda b: None if b is None else bytes(b).decode("utf-8", errors="replace")
+    )
+
+
+@pandas_udf(StringType())
+def _hex_to_b32_udf(hexstr: pd.Series) -> pd.Series:
+    return hexstr.map(
+        lambda h: None
+        if h is None
+        else base64.b32encode(bytes.fromhex(h)).decode("ascii")
+    )
+
+
+def digest_b32_col(content) -> Column:
+    """SHA-1 (JVM) + base32 re-encode, matching CC CDX `digest` format."""
+    if isinstance(content, str):
+        content = F.col(content)
+    return _hex_to_b32_udf(F.sha1(content)).alias("digest")
+
+
+def _col(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count_col(text) -> Column:
+    """Whitespace token count. Oracle twin (DuckDB):
+    ``len(string_split_regex(trim(text), '\\s+'))``."""
+    t = F.trim(_col(text))
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).alias("n_tokens")
+
+
+# Tiny deterministic stopword list shared with the oracle SQL.
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def stopword_count_col(text) -> Column:
+    """Count of stopword occurrences as standalone tokens.
+
+    Computed via size(filter(split(...))) — vectorized JVM higher-order
+    functions. Oracle twin uses the same split/filter in DuckDB list ops.
+    """
+    toks = F.split(F.trim(_col(text)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(
+        F.filter(toks, lambda x: F.array_contains(sw, x))
+    ).alias("n_stopwords")
+
+
+def quality_score_col(text) -> Column:
+    """Heuristic quality score in [0,1]:
+    0.5 * min(1, n_tokens/64) + 0.5 * min(1, 4*stopword_ratio).
+
+    Rewards documents that are long enough and have natural-language
+    stopword density. Deterministic, built-ins only, oracle-twinned.
+    """
+    nt = token_count_col(_col(text)).cast("double")
+    sw = stopword_count_col(_col(text)).cast("double")
+    len_part = F.least(F.lit(1.0), nt / F.lit(64.0))
+    sw_ratio = F.when(nt > 0, sw / nt).otherwise(F.lit(0.0))
+    sw_part = F.least(F.lit(1.0), F.lit(4.0) * sw_ratio)
+    return F.round(F.lit(0.5) * len_part + F.lit(0.5) * sw_part, 6).alias(
+        "quality"
+    )
+
+
+def lang_guess_col(text) -> Column:
+    """N-gram-free heuristic language ID: 'en' when stopword-token density
+    >= 2%, else 'unk'. (Real model hookup is a deployment concern; the
+    Spark-side contract — pure column expression over `text` — is what we
+    pin here.)"""
+    nt = token_count_col(_col(text)).cast("double")
+    sw = stopword_count_col(_col(text)).cast("double")
+    ratio = F.when(nt > 0, sw / nt).otherwise(F.lit(0.0))
+    return F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unk")).alias(
+        "lang_guess"
+    )
+
+
+def fingerprint_col(text) -> Column:
+    """Normalized-document fingerprint: md5 of lowercase,
+    whitespace-collapsed text. Portable (DuckDB md5 produces identical hex)."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(norm).alias("fingerprint")
