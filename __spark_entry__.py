@@ -1,38 +1,406 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship CDX iteration query at sf0.001.
+queries()      -> one callable per implemented operator (SURVEY.md §2 ids in
+                  each docstring); all read {sf_dir}/*.parquet.
+oracle_sql()   -> independent DuckDB SQL for each query. The CDX capture
+                  table is *derived* from `documents` by a deterministic
+                  shared transformation (cdx_toolkit_spark.cdx_view): Spark
+                  computes `urlkey` with the real SURT kernel, the oracle
+                  constructs it arithmetically — so every CDX comparison
+                  also end-to-end-checks SURT canonicalization.
+
+Non-SQL-expressible ops (MinHash-LSH, SimHash, hyperplane-LSH ANN, frontier
+politeness/drain) ship without oracle entries -> driver records rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
+from cdx_toolkit_spark.query import CdxQuery
+from cdx_toolkit_spark import dedup, similarity, textkit, multimodal
+
+_CDX_COLS = (
+    'urlkey, "timestamp", url, status, mime, mime_detected, digest, '
+    'length, "offset", filename, crawl, languages, redirect, doc_id'
+)
+
+
+def _wrap(sql: str) -> str:
+    return f"WITH cdx AS (\n{oracle_cdx_cte()}\n)\n{sql}"
+
+
+# timezone-independent epoch seconds from the 14-digit timestamp string —
+# the exact twin of cdx_toolkit_spark.query.ts_epoch_col
+_TS_EPOCH = (
+    "(date_diff('day', DATE '1970-01-01', make_date("
+    "CAST(substring(timestamp, 1, 4) AS INT), "
+    "CAST(substring(timestamp, 5, 2) AS INT), "
+    "CAST(substring(timestamp, 7, 2) AS INT))) * 86400"
+    " + CAST(substring(timestamp, 9, 2) AS BIGINT) * 3600"
+    " + CAST(substring(timestamp, 11, 2) AS BIGINT) * 60"
+    " + CAST(substring(timestamp, 13, 2) AS BIGINT))"
+)
+_EPOCH_20170601 = 1496275200  # timestamp_to_time('20170601000000')
+
+
+def _q(spark: SparkSession, sf_dir: str, dialect: str = "cc") -> CdxQuery:
+    return CdxQuery(cdx_captures(spark, sf_dir), dialect=dialect)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cdxt iter 'example0.com/*' --from 2017 --to 2017
+    --filter '=status:200' --limit 50 (reference tests/test_cli.py:232-244
+    semantics) over the derived capture table."""
+    return _q(spark, "/root/testdata/sf0.001").iter(
+        "example0.com/*",
+        from_ts="2017",
+        to="2017",
+        filter=["=status:200"],
+        limit=50,
+        cc_sort="mixed",
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- CDX iteration surface (S-1/S-2, P-3..P-8, A-2..A-7) ---------
+        "iter_window_filter": lambda s, d: _q(s, d).iter(
+            "example0.com/*", from_ts="2017", to="2017",
+            filter=["=status:200"], limit=50, cc_sort="mixed",
+        ),
+        "iter_to_only_defaults": lambda s, d: _q(s, d).iter(
+            "example0.com/*", to="2016", limit=100, cc_sort="ascending",
+        ),
+        "get_closest": lambda s, d: _q(s, d).get(
+            "example0.com/*", closest="20170601", limit=10,
+        ),
+        "match_domain_contains": lambda s, d: _q(s, d).iter(
+            "*.example4.com", from_ts="2015", to="2018", filter=["mime:pdf"],
+            cc_sort="ascending",
+        ),
+        "filter_regex": lambda s, d: _q(s, d).iter(
+            "example0.com/*", from_ts="2015", to="2018",
+            filter=["~mime:text/.*"], limit=200, cc_sort="ascending",
+        ),
+        "filter_not_and": lambda s, d: _q(s, d).iter(
+            "example0.com/*", from_ts="2015", to="2018",
+            filter=["!=status:200", "!=status:404"], cc_sort="ascending",
+        ),
+        "ia_dialect_filter": lambda s, d: _q(s, d, dialect="ia").iter(
+            "example0.com/*", from_ts="2015", to="2018",
+            filter=["statuscode:200"], limit=100, cc_sort="ascending",
+        ),
+        "match_exact_url": lambda s, d: _q(s, d).iter(
+            "http://example0.com/page/0?id=0", from_ts="2015", to="2018",
+            cc_sort="ascending",
+        ),
+        "collapse_urlkey": lambda s, d: _q(s, d).collapse(
+            "example0.com/*", field="urlkey", from_ts="2015", to="2018",
+        ),
+        "closest_per_urlkey": lambda s, d: _q(s, d).closest_per_urlkey(
+            "example0.com/*", closest="20170601",
+        ),
+        "size_estimate": lambda s, d: _q(s, d).size_estimate(
+            "example0.com/*", from_ts="2015", to="2018",
+        ),
+        "revisits": lambda s, d: _q(s, d).revisits(
+            "example0.com/*", from_ts="2015", to="2018",
+        ),
+        "crawl_name_select": lambda s, d: _q(s, d).iter(
+            "example0.com/*", crawl=["CC-MAIN-2017"], cc_sort="ascending",
+        ),
+        "crawl_last_n": lambda s, d: _q(s, d).iter(
+            "example0.com/*", crawl=["2"], cc_sort="ascending",
+        ),
+        "fields_projection": lambda s, d: _q(s, d).iter(
+            "example0.com/*", from_ts="2015", to="2018", limit=25,
+            cc_sort="mixed", fields=["url", "status", "timestamp"],
+        ),
+        "url_fgrep": lambda s, d: _q(s, d)
+        .build("example0.com/*", from_ts="2015", to="2018")
+        .where(F.col("url").contains("www."))
+        .where(~F.col("url").contains("https")),
+        # --- URL-seen anti-join (J-1 exact backstop) ----------------------
+        "urlseen_antijoin": lambda s, d: (
+            lambda cdx: cdx.select("urlkey")
+            .distinct()
+            .join(
+                cdx.where(F.col("doc_id") % 3 == 0).select("urlkey").distinct(),
+                "urlkey",
+                "left_anti",
+            )
+        )(cdx_captures(s, d)),
+        # --- dedup family --------------------------------------------------
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), n=3, threshold_num=8, threshold_den=10,
+        ),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
+            _docs(s, d), num_hashes=64, bands=16, n=3,
+        ),
+        "dedup_simhash": lambda s, d: dedup.simhash_pairs(
+            _docs(s, d), max_hamming=12,
+        ),
+        # --- text analysis --------------------------------------------------
+        "text_stats": lambda s, d: _docs(s, d).select(
+            "doc_id",
+            textkit.token_count_col("text"),
+            textkit.stopword_count_col("text"),
+            textkit.lang_guess_col("text"),
+            textkit.fingerprint_col("text"),
+        ),
+        # --- similarity search ----------------------------------------------
+        "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
+            _emb(s, d), k=5,
+        ),
+        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
+            _emb(s, d), k=5, n_planes=10,
+        ),
+        # --- multimodal plumbing ---------------------------------------------
+        "media_features": lambda s, d: multimodal.extract_features(
+            multimodal.synth_media(s, d)
+        ).select("media_id", "kind", "n_bytes"),
+        # --- generic relational breadth (events + star schema) ---------------
+        "events_daily_counts": lambda s, d: s.read.parquet(f"{d}/events.parquet")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        ),
+        "orders_topk_per_segment": lambda s, d: (
+            lambda o, c: o.join(c, o.o_custkey == c.c_custkey)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("c_mktsegment").orderBy(
+                        F.col("o_totalprice").desc(), F.col("o_orderkey")
+                    )
+                ),
+            )
+            .where(F.col("rk") <= 3)
+            .select("c_mktsegment", "o_orderkey", "rk")
+        )(
+            s.read.parquet(f"{d}/orders.parquet"),
+            s.read.parquet(f"{d}/customer.parquet"),
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    iter_order = 'ORDER BY crawl DESC, urlkey, "timestamp", doc_id'
+    asc_order = 'ORDER BY urlkey, "timestamp", doc_id'
+    p0 = "starts_with(urlkey, 'com,example0)')"
+    return {
+        "iter_window_filter": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20170101000000' "
+            "AND timestamp <= '20171231235959' AND status = '200' "
+            f"{iter_order} LIMIT 50"
+        ),
+        "iter_to_only_defaults": _wrap(
+            # to='2016' injects from = to_padded_up - 1 year = 20160101235959
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20160101235959' "
+            "AND timestamp <= '20161231235959' "
+            f"{asc_order} LIMIT 100"
+        ),
+        "get_closest": _wrap(
+            # closest=20170601 -> window = closest -/+ 90 days
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20170303000000' "
+            "AND timestamp <= '20170830000000' "
+            f"ORDER BY abs({_TS_EPOCH} - {_EPOCH_20170601}), timestamp, doc_id "
+            "LIMIT 10"
+        ),
+        "match_domain_contains": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            "WHERE (starts_with(urlkey, 'com,example4)') "
+            "OR starts_with(urlkey, 'com,example4,')) "
+            "AND timestamp >= '20150101000000' AND timestamp <= '20181231235959' "
+            "AND mime LIKE '%pdf%' "
+            f"{asc_order}"
+        ),
+        "filter_regex": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20150101000000' "
+            "AND timestamp <= '20181231235959' "
+            "AND regexp_full_match(mime, '(?:text/.*)') "
+            f"{asc_order} LIMIT 200"
+        ),
+        "filter_not_and": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20150101000000' "
+            "AND timestamp <= '20181231235959' "
+            "AND status <> '200' AND status <> '404' "
+            f"{asc_order}"
+        ),
+        "ia_dialect_filter": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20150101000000' "
+            "AND timestamp <= '20181231235959' "
+            "AND regexp_full_match(status, '(?:200)') "
+            f"{asc_order} LIMIT 100"
+        ),
+        "match_exact_url": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            "WHERE urlkey = 'com,example0)/page/0?id=0' "
+            "AND timestamp >= '20150101000000' AND timestamp <= '20181231235959' "
+            f"{asc_order}"
+        ),
+        "collapse_urlkey": _wrap(
+            f"SELECT {_CDX_COLS} FROM ("
+            f"  SELECT *, row_number() OVER ("
+            '    PARTITION BY urlkey ORDER BY "timestamp", doc_id) AS rn'
+            f"  FROM cdx WHERE {p0} "
+            "  AND timestamp >= '20150101000000' AND timestamp <= '20181231235959'"
+            ") t WHERE rn = 1"
+        ),
+        "closest_per_urlkey": _wrap(
+            f"SELECT {_CDX_COLS} FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY urlkey ORDER BY "
+            f"    abs({_TS_EPOCH} - {_EPOCH_20170601}), timestamp, doc_id"
+            "  ) AS rn"
+            f"  FROM cdx WHERE {p0} "
+            "  AND timestamp >= '20170303000000' AND timestamp <= '20170830000000'"
+            ") t WHERE rn = 1"
+        ),
+        "size_estimate": _wrap(
+            "SELECT count(*) AS n_captures, count(DISTINCT urlkey) AS n_urls "
+            f"FROM cdx WHERE {p0} "
+            "AND timestamp >= '20150101000000' AND timestamp <= '20181231235959'"
+        ),
+        "revisits": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20150101000000' "
+            "AND timestamp <= '20181231235959' AND mime = 'warc/revisit'"
+        ),
+        "crawl_name_select": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND crawl IN ('CC-MAIN-2017-26', 'CC-MAIN-2017-52') "
+            f"{asc_order}"
+        ),
+        "crawl_last_n": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND crawl IN ('CC-MAIN-2018-26', 'CC-MAIN-2018-52') "
+            f"{asc_order}"
+        ),
+        "fields_projection": _wrap(
+            'SELECT url, status, "timestamp" FROM ('
+            f"  SELECT * FROM cdx WHERE {p0} "
+            "  AND timestamp >= '20150101000000' AND timestamp <= '20181231235959' "
+            f"  {iter_order} LIMIT 25"
+            ") t"
+        ),
+        "url_fgrep": _wrap(
+            f"SELECT {_CDX_COLS} FROM cdx "
+            f"WHERE {p0} AND timestamp >= '20150101000000' "
+            "AND timestamp <= '20181231235959' "
+            "AND url LIKE '%www.%' AND url NOT LIKE '%https%'"
+        ),
+        "urlseen_antijoin": _wrap(
+            "SELECT DISTINCT urlkey FROM cdx WHERE urlkey NOT IN ("
+            "  SELECT urlkey FROM cdx WHERE doc_id % 3 = 0)"
+        ),
+        "dedup_exact": (
+            "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws"
+            "  FROM documents),\n"
+            "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s\n"
+            "  FROM w, unnest(generate_series(1, len(ws)-2)) AS g(i) WHERE len(ws) >= 3),\n"
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter\n"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)\n"
+            "SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union\n"
+            "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
+            "JOIN sizes sb ON doc_b = sb.doc_id\n"
+            "WHERE 10 * n_inter >= 8 * (sa.n + sb.n - n_inter)"
+        ),
+        "text_stats": (
+            "WITH t AS (SELECT doc_id,"
+            "  string_split_regex(trim(text), '\\s+') AS toks,"
+            "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm"
+            "  FROM documents)\n"
+            "SELECT doc_id,"
+            "  len(toks) AS n_tokens,"
+            "  len(list_filter(toks, x -> list_contains("
+            "    ['the','a','of','and','to'], x))) AS n_stopwords,"
+            "  CASE WHEN len(toks) > 0 AND"
+            "    CAST(len(list_filter(toks, x -> list_contains("
+            "      ['the','a','of','and','to'], x))) AS DOUBLE) / len(toks)"
+            "      >= 0.02"
+            "  THEN 'en' ELSE 'unk' END AS lang_guess,"
+            "  md5(norm) AS fingerprint "
+            "FROM t"
+        ),
+        "ann_cosine_topk": (
+            "WITH e AS (SELECT vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings),\n"
+            "n AS (SELECT vec_id, v,"
+            "  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),\n"
+            "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,\n"
+            "  list_sum(list_transform(generate_series(1, len(a.v)),"
+            "    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cosine\n"
+            "  FROM n a, n b WHERE a.vec_id <> b.vec_id)\n"
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT query_id, neighbor_id, row_number() OVER ("
+            "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id"
+            "  ) AS rank FROM p) t WHERE rank <= 5"
+        ),
+        "media_features": (
+            "SELECT doc_id AS media_id,"
+            "  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+            "    ELSE 'video' END AS kind,"
+            "  CAST(strlen(text) AS BIGINT) AS n_bytes "
+            "FROM documents"
+        ),
+        "events_daily_counts": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,"
+            "  count(*) AS n_events, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "orders_topk_per_segment": (
+            "SELECT c_mktsegment, o_orderkey, rk FROM ("
+            "  SELECT c.c_mktsegment, o.o_orderkey, row_number() OVER ("
+            "    PARTITION BY c.c_mktsegment"
+            "    ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk"
+            "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            ") t WHERE rk <= 3"
+        ),
+        # no oracle (driver rows-only check): dedup_minhash_lsh, dedup_simhash,
+        # ann_lsh_topk — probabilistic bucketing isn't ANSI-SQL-expressible.
+    }

@@ -133,8 +133,16 @@ def cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_cdx_cte() -> str:
-    """DuckDB CTE text deriving the identical view (arithmetic urlkey)."""
-    exprs = ",\n    ".join([f"{ORACLE_URLKEY} AS urlkey"] + BASE_EXPRS)
+    """DuckDB CTE text deriving the identical view (arithmetic urlkey).
+
+    `timestamp` and `offset` are DuckDB reserved words in alias position, so
+    aliases get double-quoted (bare references elsewhere parse fine)."""
+    exprs = ",\n    ".join(
+        e.replace("AS timestamp", 'AS "timestamp"').replace(
+            "AS offset", 'AS "offset"'
+        )
+        for e in [f"{ORACLE_URLKEY} AS urlkey"] + BASE_EXPRS
+    )
     return f"SELECT\n    {exprs}\n  FROM documents"
 
 

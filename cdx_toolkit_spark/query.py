@@ -45,6 +45,22 @@ from .timeutils import (
 _FILTER_RE = re.compile(r"^(!~|!=|!|=|~)?([a-zA-Z_][\w-]*):(.*)$", re.S)
 
 
+def ts_epoch_col(ts) -> Column:
+    """Unix seconds from a 14-digit timestamp string — pure date arithmetic
+    (make_date + datediff), so the result is independent of the session
+    timezone. Used for `closest` distance ranking; the DuckDB oracle uses
+    the identical construction."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    y = F.substring(c, 1, 4).cast("int")
+    mo = F.substring(c, 5, 2).cast("int")
+    dd = F.substring(c, 7, 2).cast("int")
+    hh = F.substring(c, 9, 2).cast("long")
+    mi = F.substring(c, 11, 2).cast("long")
+    ss = F.substring(c, 13, 2).cast("long")
+    days = F.datediff(F.make_date(y, mo, dd), F.to_date(F.lit("1970-01-01")))
+    return days.cast("long") * 86400 + hh * 3600 + mi * 60 + ss
+
+
 def parse_filter(f: str):
     """'[modifier]field:expression' -> (modifier, field, expression)."""
     m = _FILTER_RE.match(f)
@@ -169,7 +185,13 @@ class CdxQuery:
         if pred is not None:
             df = df.where(pred)
 
-        for f in munge_filter(list(filter or []), self.dialect):
+        filters = list(filter or [])
+        if self.dialect == "ia":
+            # reject pywb-only modifiers exactly like the reference shim
+            munge_filter(filters, "ia")
+        # execution columns are always pywb-named — normalize spellings to
+        # pywb regardless of dialect; 'ia' keeps its regex match semantics
+        for f in munge_filter(filters, "cc"):
             df = df.where(filter_to_predicate(f, self.dialect))
 
         if cc_sort not in ("ascending", "mixed"):
@@ -230,11 +252,7 @@ class CdxQuery:
         )
         if closest is not None:
             target = timestamp_to_time(pad_timestamp(str(closest)))
-            dist = F.abs(
-                F.unix_timestamp(
-                    F.to_timestamp("timestamp", "yyyyMMddHHmmss")
-                ) - F.lit(int(target))
-            )
+            dist = F.abs(ts_epoch_col("timestamp") - F.lit(int(target)))
             df = df.orderBy(
                 dist.asc(), F.col("timestamp").asc(), F.col("doc_id").asc()
             )
@@ -255,10 +273,7 @@ class CdxQuery:
         """As-of variant of J-3: nearest capture per urlkey (window rank)."""
         df = self.build(url, closest=closest, **kw)
         target = timestamp_to_time(pad_timestamp(str(closest)))
-        dist = F.abs(
-            F.unix_timestamp(F.to_timestamp("timestamp", "yyyyMMddHHmmss"))
-            - F.lit(int(target))
-        )
+        dist = F.abs(ts_epoch_col("timestamp") - F.lit(int(target)))
         w = Window.partitionBy("urlkey").orderBy(
             dist.asc(), F.col("timestamp").asc(), F.col("doc_id").asc()
         )
