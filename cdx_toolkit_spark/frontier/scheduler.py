@@ -1,0 +1,276 @@
+"""Frontier drain: dedup -> politeness schedule -> batched, resumable output.
+
+The priority queue is realized as a bucketed+sorted table (parquet locally,
+Iceberg on a cluster — same layout: partition by batch, sort by
+(fetch_time, priority, urlkey)); "draining" is writing schedule batches in
+crawl order with lineage columns (epoch, bloom_version, source partition).
+
+Pipeline per epoch (all declarative until the write):
+  1. prepare():  urlkey (SURT), url_hash (xxhash64), host — JVM expressions
+  2. dedupe():   intra-epoch first-per-urlkey (window) +
+                 bloom probe (no false negatives) +
+                 exact anti-join backstop on bloom-POSITIVES only
+  3. schedule(): broadcast robots join, per-host token-bucket fetch times
+  4. write batches partitioned by batch id; update seen store (bloom + exact)
+     and per-host politeness state; record epoch manifest
+
+Crawl-order parity: global order (fetch_time, priority, urlkey) matches the
+serial event-loop reference (reference_impl.py) bit-for-bit because fetch
+times are pure arithmetic of the deterministic per-host rank.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..surt import host_col, surt_col, url_hash_col
+from .bloom import BloomShardStore
+from . import politeness
+
+SEEN_DIRNAME = "seen_exact"
+STATE_DIRNAME = "host_state"
+OUT_DIRNAME = "schedule"
+MANIFEST = "epochs.jsonl"
+
+
+def prepare(candidates: DataFrame) -> DataFrame:
+    """Attach frontier keys. candidates: (url, priority, discovered_ts)."""
+    return (
+        candidates.withColumn("urlkey", surt_col("url"))
+        .withColumn("url_hash", url_hash_col("urlkey"))
+        .withColumn("host", host_col("url"))
+    )
+
+
+def dedupe(frontier: DataFrame, store: BloomShardStore,
+           seen_exact: DataFrame | None) -> DataFrame:
+    """Drop already-seen urlkeys and intra-epoch duplicates.
+
+    Bloom-negatives are definitely-new (skip the join); bloom-positives get
+    the exact anti-join backstop, so correctness never depends on the
+    filter's fp rate — only the cost of the join does.
+    """
+    w = Window.partitionBy("urlkey").orderBy(
+        F.col("priority").asc(), F.col("discovered_ts").asc(), F.col("url").asc()
+    )
+    first = (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    flagged = store.probe(first, "url_hash")
+    fresh = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+    if seen_exact is not None:
+        confirmed_new = maybe.join(
+            seen_exact.select("urlkey"), "urlkey", "left_anti"
+        )
+    else:
+        confirmed_new = maybe
+    return fresh.unionByName(confirmed_new)
+
+
+class FrontierDrain:
+    """Stateful drain over a working directory:
+
+    workdir/
+      schedule/epoch=N/batch=K/*.parquet   crawl-ordered output
+      seen_exact/*.parquet                 exact urlkey set (backstop)
+      bloom/                               versioned counting-bloom shards
+      host_state/epoch=N/*.parquet         politeness carryover
+      epochs.jsonl                         lineage manifest (resume point)
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str,
+                 batch_window: float = 60.0, n_shards: int = 8,
+                 m_bits: int = 1 << 18, mitigate_skew: bool = False):
+        self.spark = spark
+        self.workdir = workdir
+        self.batch_window = batch_window
+        self.mitigate_skew = mitigate_skew
+        os.makedirs(workdir, exist_ok=True)
+        self.store = BloomShardStore(
+            spark, os.path.join(workdir, "bloom"), n_shards=n_shards,
+            m_bits=m_bits,
+        )
+
+    # -- lineage -----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.workdir, MANIFEST)
+
+    def epochs(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path()):
+            return []
+        with open(self._manifest_path()) as fd:
+            return [json.loads(line) for line in fd if line.strip()]
+
+    def last_epoch(self) -> int:
+        eps = self.epochs()
+        return eps[-1]["epoch"] if eps else 0
+
+    def _seen_exact(self) -> DataFrame | None:
+        path = os.path.join(self.workdir, SEEN_DIRNAME)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _host_state(self, epoch: int) -> DataFrame | None:
+        if epoch <= 0:
+            return None
+        path = os.path.join(self.workdir, STATE_DIRNAME, f"ep_{epoch}")
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- the drain step ------------------------------------------------------
+
+    def drain_epoch(self, candidates: DataFrame,
+                    robots: DataFrame | None = None) -> dict:
+        """One epoch: dedup + schedule + write. Returns the lineage record.
+
+        Idempotent on rerun of a half-finished epoch: outputs land under
+        epoch=N dirs that are overwritten atomically per epoch, and the
+        manifest line is appended only after every write succeeded — a
+        crash before that line replays the epoch from its inputs.
+        """
+        spark = self.spark
+        epoch = self.last_epoch() + 1
+        robots = robots if robots is not None else spark.createDataFrame(
+            [], "host string, crawl_delay_s double, disallow_prefixes array<string>"
+        )
+
+        frontier = prepare(candidates)
+        fresh = dedupe(frontier, self.store, self._seen_exact())
+        polite = politeness.attach_robots(fresh, robots)
+        scheduled = politeness.assign_fetch_times(
+            polite, self._host_state(epoch - 1),
+            mitigate_skew=self.mitigate_skew,
+        )
+        scheduled = scheduled.withColumn(
+            "batch",
+            F.floor(F.col("fetch_time") / F.lit(self.batch_window)).cast("int"),
+        ).withColumn("epoch", F.lit(epoch)).withColumn(
+            "source_partition", F.spark_partition_id()
+        )
+        out_cols = [
+            "url", "urlkey", "url_hash", "host", "priority", "discovered_ts",
+            "crawl_delay_s", "host_rank", "fetch_time", "batch", "epoch",
+            "source_partition",
+        ]
+        scheduled = scheduled.select(*out_cols)
+        # bucketed + sorted layout: partition dirs by batch, rows in crawl
+        # order within each file (Iceberg: identity(batch) + sort order).
+        # dir is ep_N (not epoch=N) — epoch lives in the data, so partition
+        # discovery must not also infer it from the path
+        out_path = os.path.join(self.workdir, OUT_DIRNAME, f"ep_{epoch}")
+        (
+            scheduled.repartition("batch")
+            .sortWithinPartitions("fetch_time", "priority", "urlkey")
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(out_path)
+        )
+        written = self._read_epoch(out_path, scheduled.schema)
+        n_scheduled = written.count()
+
+        # seen-store update: exact set + bloom shards (new version)
+        done = written.select("urlkey", "url_hash")
+        if n_scheduled > 0:
+            done.write.mode("append").parquet(
+                os.path.join(self.workdir, SEEN_DIRNAME)
+            )
+            bloom_version = (
+                self.store.add(done, "url_hash")
+                if self.store.latest_version() > 0
+                else self.store.build(done, "url_hash")
+            )
+        else:
+            bloom_version = self.store.latest_version()
+
+        # politeness carryover: merge with prior state so idle hosts keep
+        # their next_free_time
+        state = politeness.next_host_state(written)
+        prev_state = self._host_state(epoch - 1)
+        if prev_state is not None:
+            state = (
+                state.unionByName(prev_state)
+                .groupBy("host")
+                .agg(F.max("next_free_time").alias("next_free_time"))
+            )
+        state.write.mode("overwrite").parquet(
+            os.path.join(self.workdir, STATE_DIRNAME, f"ep_{epoch}")
+        )
+
+        record = {
+            "epoch": epoch,
+            "n_scheduled": n_scheduled,
+            "bloom_version": bloom_version,
+            "batch_window": self.batch_window,
+            "out_path": out_path,
+        }
+        with open(self._manifest_path(), "a") as fd:
+            fd.write(json.dumps(record) + "\n")
+        return record
+
+    # -- reading the drained schedule ---------------------------------------
+
+    def _read_epoch(self, path: str, schema) -> DataFrame:
+        """Read one epoch dir; an all-deduped epoch writes no files, which
+        plain read.parquet can't infer a schema for — fall back to empty."""
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def schedule_df(self, epoch: int | None = None) -> DataFrame:
+        base = os.path.join(self.workdir, OUT_DIRNAME)
+        schema = (
+            "url string, urlkey string, url_hash long, host string, "
+            "priority int, discovered_ts long, crawl_delay_s double, "
+            "host_rank int, fetch_time double, batch int, epoch int, "
+            "source_partition int"
+        )
+        if epoch is not None:
+            return self._read_epoch(os.path.join(base, f"ep_{epoch}"), schema)
+        dfs = [
+            self._read_epoch(os.path.join(base, f"ep_{e['epoch']}"), schema)
+            for e in self.epochs()
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def trace(self, epoch: int) -> list[dict]:
+        """Crawl-order trace for golden comparison (test-scale only: the
+        global sort collects to the driver)."""
+        rows = (
+            self.schedule_df(epoch)
+            .orderBy("fetch_time", "priority", "urlkey")
+            .collect()
+        )
+        return [
+            {
+                "step": i,
+                "url": r["url"],
+                "urlkey": r["urlkey"],
+                "host": r["host"],
+                "fetch_time": r["fetch_time"],
+                "batch": r["batch"],
+            }
+            for i, r in enumerate(rows)
+        ]
+
+    def seen_set(self) -> set:
+        df = self._seen_exact()
+        if df is None:
+            return set()
+        return {r["urlkey"] for r in df.select("urlkey").distinct().collect()}

@@ -66,6 +66,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     size, mean byte value, byte-histogram entropy. Vectorized numpy per
     Arrow batch via mapInPandas."""
 
+    from .shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
     def run(batches):
         for pdf in batches:
             out = pd.DataFrame(

@@ -120,10 +120,10 @@ def lsh_topk(
 
     Recall < 1 by construction (single hash table); multiple tables = union
     of several seeds. Returns (query_id, neighbor_id, rank)."""
-    spark = embeddings.sparkSession
-    dim = len(
-        embeddings.select(vec_col).first()[0]
-    )
+    from .shipping import ensure_shipped
+
+    ensure_shipped(embeddings.sparkSession)
+    dim = len(embeddings.select(vec_col).first()[0])
     schema = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")

@@ -46,6 +46,13 @@ def _hex_to_b32_udf(hexstr: pd.Series) -> pd.Series:
 
 def digest_b32_col(content) -> Column:
     """SHA-1 (JVM) + base32 re-encode, matching CC CDX `digest` format."""
+    from pyspark.sql import SparkSession
+
+    from .shipping import ensure_shipped
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_shipped(active)
     if isinstance(content, str):
         content = F.col(content)
     return _hex_to_b32_udf(F.sha1(content)).alias("digest")
