@@ -1,0 +1,145 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline operator is the frontier drain (BASELINE.json metric): a
+deterministic synthetic candidate frontier (Zipf-ish host skew, ~40% of URLs
+on one hot host) is SURT-canonicalized, xxhash64-keyed, bloom+exact deduped,
+robots-joined, politeness-scheduled and written in crawl order; we report
+URLs scheduled+deduped per second alongside per-query wall times.
+
+Scaling evidence (two parallelism levels) lives in bench_scaling.py; this
+script is the single-level per-round probe the driver records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def synth_candidates(spark, n: int):
+    """Deterministic skewed candidate frontier: 40% of URLs on one hot host
+    (CDN-shaped skew), the rest across n/50 long-tail hosts; ~10% duplicate
+    urlkeys (www./https variants) so dedup has real work."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).withColumn("bucket", F.pmod(F.col("id"), F.lit(10)))
+    host = (
+        F.when(F.col("bucket") < 4, F.lit("hot-cdn.example.com"))
+        .otherwise(
+            F.concat(F.lit("site"), F.pmod(F.col("id") * 2654435761, F.lit(max(n // 50, 1))), F.lit(".example.org"))
+        )
+    )
+    scheme = F.when(F.pmod(F.col("id"), F.lit(17)) == 0, F.lit("https://www.")).otherwise(F.lit("http://"))
+    url = F.concat(
+        scheme, host, F.lit("/page/"), (F.col("id") % (n * 9 // 10)).cast("string")
+    )
+    return df.select(
+        url.alias("url"),
+        F.pmod(F.col("id"), F.lit(3)).cast("int").alias("priority"),
+        (F.col("id") % 1000).cast("long").alias("discovered_ts"),
+    )
+
+
+def bench_frontier(spark, n_urls: int) -> tuple[float, int]:
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
+
+    workdir = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        drain = FrontierDrain(
+            spark, workdir, batch_window=60.0, n_shards=CPUS,
+            m_bits=1 << 22, mitigate_skew=True,
+        )
+        robots = spark.createDataFrame(
+            [("hot-cdn.example.com", 0.01, ["/private"])],
+            "host string, crawl_delay_s double, disallow_prefixes array<string>",
+        )
+        cands = synth_candidates(spark, n_urls)
+        t0 = time.monotonic()
+        rec = drain.drain_epoch(cands, robots=robots)
+        dt = time.monotonic() - t0
+        return dt, rec["n_scheduled"]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    from cdx_toolkit_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    headline = [
+        "iter_window_filter",
+        "get_closest",
+        "collapse_urlkey",
+        "closest_per_urlkey",
+        "urlseen_antijoin",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "text_stats",
+        "events_daily_counts",
+    ]
+
+    def force(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    # warm the JVM/Arrow paths once so timings measure the plan, not startup
+    force(qs["iter_window_filter"](spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        force(qs[name](spark, SF_DIR))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    sf = sf_of(SF_DIR)
+    n_urls = max(int(5_000_000 * sf), 10_000)
+    dt, n_scheduled = bench_frontier(spark, n_urls)
+    times["frontier_drain"] = round(dt, 3)
+    urls_per_sec = n_scheduled / dt if dt > 0 else 0.0
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (frontier drain + CDX + training-data ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": CPUS,
+                "frontier_urls_in": n_urls,
+                "frontier_urls_scheduled": n_scheduled,
+                "frontier_urls_per_sec": round(urls_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

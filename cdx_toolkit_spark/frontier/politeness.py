@@ -18,9 +18,11 @@ p -> startswith(path, p))` — a JVM higher-order function, no Python.
 
 Skew: a window partitioned by host serializes each host into one task; a
 .com-scale hot host (40% of the synthetic frontier by design) makes that
-task the straggler. mitigate_skew=True ranks hot hosts in two phases:
-salted local ranks + broadcast offsets (see salted_rank), keeping every
-task bounded while producing the identical global rank.
+task the straggler. mitigate_skew=True ranks in two exact phases instead:
+range-partition on the order key (a hot host spreads across many tasks,
+each bounded by partition size), rank locally inside (host, partition),
+then add broadcast per-partition offsets — same global rank, no
+single-host straggler task.
 """
 
 from __future__ import annotations
@@ -49,12 +51,19 @@ def attach_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
-              salt_buckets: int = 32, hot_threshold: int = 100_000) -> DataFrame:
+              n_range_parts: int | None = None) -> DataFrame:
     """Deterministic per-host rank by (priority, discovered_ts, urlkey).
 
-    mitigate_skew: two-phase rank for hosts above hot_threshold rows —
-    rank within (host, salt) partitions locally, then add broadcast
-    per-salt offsets. Same result, bounded task size."""
+    mitigate_skew=False: one window per host — simplest plan, but a hot
+    host serializes into a single task.
+
+    mitigate_skew=True: exact two-phase rank with bounded tasks.
+    repartitionByRange on (host, order...) spreads a hot host over many
+    range partitions whose index order equals key order; rank locally
+    inside (host, partition); add broadcast cumulative offsets per
+    (host, partition). Identical global rank (order keys are unique per
+    host after dedupe — urlkey is the final tiebreak), regardless of where
+    the sampled range boundaries land."""
     order = [
         F.col("priority").asc(),
         F.col("discovered_ts").asc(),
@@ -64,49 +73,45 @@ def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
         w = Window.partitionBy("host").orderBy(*order)
         return frontier.withColumn("host_rank", F.row_number().over(w) - 1)
 
-    # Phase 0: split hot vs cold hosts (cheap count per host)
-    counts = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
-    tagged = frontier.join(F.broadcast(counts), "host")
-    cold = tagged.where(F.col("_n") <= hot_threshold).drop("_n")
-    hot = tagged.where(F.col("_n") > hot_threshold).drop("_n")
-
-    w_cold = Window.partitionBy("host").orderBy(*order)
-    cold_ranked = cold.withColumn("host_rank", F.row_number().over(w_cold) - 1)
-    if hot.isEmpty():
-        return cold_ranked
-
-    # Phase 1: ordered salt = range bucket on the order key, so salt index
-    # ordering == global ordering; rank locally inside (host, salt)
-    hot = hot.withColumn(
-        "_salt", F.ntile(salt_buckets).over(
-            Window.partitionBy("host").orderBy(*order)
+    if n_range_parts is None:
+        n_range_parts = int(
+            frontier.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    # localCheckpoint is load-bearing: RangePartitioner's boundary sample is
+    # seeded by rdd.id, so re-executing this exchange in the offsets branch
+    # would draw DIFFERENT boundaries -> a row's _pid would disagree between
+    # branches and the offset join would silently drop/duplicate rows.
+    # Materializing pins _pid once. (Cluster note: blocks live on executors;
+    # an executor loss fails the job loudly instead of corrupting ranks —
+    # use a reliable checkpoint dir if that tradeoff is wrong for the site.)
+    ranged = (
+        frontier.repartitionByRange(n_range_parts, F.col("host"), *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    # ntile itself is a window over host... that defeats the purpose at true
-    # scale; production path: range-partition on precomputed key quantiles.
-    # Locally this demonstrates the two-phase contract & its exactness.
-    w_local = Window.partitionBy("host", "_salt").orderBy(*order)
-    local = hot.withColumn("_lr", F.row_number().over(w_local) - 1)
+    w_local = Window.partitionBy("host", "_pid").orderBy(*order)
+    local = ranged.withColumn("_lr", F.row_number().over(w_local) - 1)
+    # offsets: rows of the same host in earlier range partitions all precede
+    # this partition's rows; <= n_hosts * n_range_parts rows => broadcast
     offsets = (
-        local.groupBy("host", "_salt")
+        local.groupBy("host", "_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn(
             "_offset",
             F.sum("_cnt").over(
                 Window.partitionBy("host")
-                .orderBy("_salt")
+                .orderBy("_pid")
                 .rowsBetween(Window.unboundedPreceding, -1)
             ),
         )
         .fillna({"_offset": 0})
-        .select("host", "_salt", "_offset")
+        .select("host", "_pid", "_offset")
     )
-    hot_ranked = (
-        local.join(F.broadcast(offsets), ["host", "_salt"])
+    return (
+        local.join(F.broadcast(offsets), ["host", "_pid"])
         .withColumn("host_rank", (F.col("_lr") + F.col("_offset")).cast("int"))
-        .drop("_salt", "_lr", "_offset")
+        .drop("_pid", "_lr", "_offset")
     )
-    return cold_ranked.unionByName(hot_ranked)
 
 
 def assign_fetch_times(

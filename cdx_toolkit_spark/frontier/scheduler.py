@@ -148,7 +148,10 @@ class FrontierDrain:
         )
 
         frontier = prepare(candidates)
-        fresh = dedupe(frontier, self.store, self._seen_exact())
+        # persist: the deduped frontier feeds the two-phase rank (local ranks
+        # + offsets), the batch write, and the seen-store update — without
+        # this the SURT UDF + dedupe window recompute once per branch
+        fresh = dedupe(frontier, self.store, self._seen_exact()).persist()
         polite = politeness.attach_robots(fresh, robots)
         scheduled = politeness.assign_fetch_times(
             polite, self._host_state(epoch - 1),
@@ -209,6 +212,7 @@ class FrontierDrain:
             os.path.join(self.workdir, STATE_DIRNAME, f"ep_{epoch}")
         )
 
+        fresh.unpersist()
         record = {
             "epoch": epoch,
             "n_scheduled": n_scheduled,

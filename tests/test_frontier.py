@@ -81,17 +81,17 @@ def test_golden_trace_parity(spark, workdir):
 
 
 def test_golden_trace_parity_with_skew_mitigation(spark, workdir):
-    """Two-phase salted ranking produces the identical trace."""
+    """Two-phase range-partitioned ranking produces the identical trace."""
     seeds = _seed_urls()
     ref_trace, _ = run_reference_schedule(seeds, robots=ROBOTS, batch_window=30.0)
     drain = FrontierDrain(spark, workdir, batch_window=30.0, mitigate_skew=True)
-    # force the hot-host path by lowering the threshold
+    # force many small range partitions so hosts genuinely split across tasks
     import cdx_toolkit_spark.frontier.politeness as pol
 
     orig = pol.host_rank
 
-    def patched(frontier, mitigate_skew=False, salt_buckets=32, hot_threshold=100_000):
-        return orig(frontier, mitigate_skew, salt_buckets=4, hot_threshold=20)
+    def patched(frontier, mitigate_skew=False, n_range_parts=None):
+        return orig(frontier, mitigate_skew, n_range_parts=7)
 
     pol.host_rank = patched
     try:
@@ -212,3 +212,33 @@ def test_pages_text_invariant(spark, sf_dir):
     assert bad == 0
     # the garnish set really exercises replacement chars
     assert any("�" in r["text"] for r in rows)
+
+
+def test_rank_integrity_when_hosts_split_across_range_partitions(spark):
+    """Regression: repartitionByRange's boundary sample is rdd.id-seeded, so
+    without pinning, the offsets branch would see different _pid values and
+    the rank join silently dropped rows. Every host must get a dense
+    0..n-1 rank even when it spans many range partitions."""
+    from cdx_toolkit_spark.frontier import politeness
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 4, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 7).cast("string"),
+                            F.lit(".org"))).alias("host"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+        (F.col("id") % 997).alias("discovered_ts"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 8, "0"))
+        .alias("urlkey"),
+        F.lit(1.0).alias("crawl_delay_s"),
+    )
+    ranked = politeness.host_rank(df, mitigate_skew=True, n_range_parts=16)
+    chk = ranked.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("host_rank").alias("nd"),
+        F.max("host_rank").alias("mx"),
+    )
+    assert ranked.count() == n
+    assert chk.where(
+        (F.col("n") != F.col("nd")) | (F.col("mx") != F.col("n") - 1)
+    ).count() == 0
