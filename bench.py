@@ -36,27 +36,9 @@ def sf_of(path: str) -> float:
 
 
 def synth_candidates(spark, n: int):
-    """Deterministic skewed candidate frontier: 40% of URLs on one hot host
-    (CDN-shaped skew), the rest across n/50 long-tail hosts; ~10% duplicate
-    urlkeys (www./https variants) so dedup has real work."""
-    from pyspark.sql import functions as F
+    from cdx_toolkit_spark.frontier.synth import synth_candidates as _sc
 
-    df = spark.range(n).withColumn("bucket", F.pmod(F.col("id"), F.lit(10)))
-    host = (
-        F.when(F.col("bucket") < 4, F.lit("hot-cdn.example.com"))
-        .otherwise(
-            F.concat(F.lit("site"), F.pmod(F.col("id") * 2654435761, F.lit(max(n // 50, 1))), F.lit(".example.org"))
-        )
-    )
-    scheme = F.when(F.pmod(F.col("id"), F.lit(17)) == 0, F.lit("https://www.")).otherwise(F.lit("http://"))
-    url = F.concat(
-        scheme, host, F.lit("/page/"), (F.col("id") % (n * 9 // 10)).cast("string")
-    )
-    return df.select(
-        url.alias("url"),
-        F.pmod(F.col("id"), F.lit(3)).cast("int").alias("priority"),
-        (F.col("id") % 1000).cast("long").alias("discovered_ts"),
-    )
+    return _sc(spark, n)
 
 
 def bench_frontier(spark, n_urls: int) -> tuple[float, int]:

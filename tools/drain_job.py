@@ -1,0 +1,75 @@
+"""Frontier-drain job for spark-submit.
+
+    spark-submit --master local[N] --py-files cdx_toolkit_spark.zip \
+        tools/drain_job.py --n-urls 2000000 --epochs 1 --workdir /tmp/drain
+
+Imports only from the shipped package (no repo-root deps), runs the drain,
+and prints ONE JSON line with wall time and throughput. This is the
+deployment shape the engine targets on a real cluster (swap --master and
+point --workdir at shared storage / the Iceberg warehouse).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-urls", type=int, default=2_000_000)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--batch-window", type=float, default=60.0)
+    ap.add_argument("--n-shards", type=int, default=32)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
+    from cdx_toolkit_spark.frontier.synth import synth_candidates
+
+    drain = FrontierDrain(
+        spark, args.workdir, batch_window=args.batch_window,
+        n_shards=args.n_shards, m_bits=1 << 22, mitigate_skew=True,
+    )
+    robots = spark.createDataFrame(
+        [("hot-cdn.example.com", 0.01, ["/private"])],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>",
+    )
+
+    total_scheduled = 0
+    t0 = time.monotonic()
+    for ep in range(args.epochs):
+        # each epoch sees a shifted slice so later epochs mix new + seen urls
+        cands = synth_candidates(spark, args.n_urls)
+        rec = drain.drain_epoch(cands, robots=robots)
+        total_scheduled += rec["n_scheduled"]
+    dt = time.monotonic() - t0
+
+    cores = spark.sparkContext.defaultParallelism
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_urls_in": args.n_urls * args.epochs,
+                "n_scheduled": total_scheduled,
+                "seconds": round(dt, 3),
+                "urls_per_sec": round(total_scheduled / dt, 1) if dt else 0.0,
+                "epochs": args.epochs,
+            }
+        )
+    )
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
