@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(
             _docs(s, d), max_hamming=12,
         ),
+        "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(
+            _emb(s, d), threshold=0.42,
+        ).select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine")),
         # --- text analysis --------------------------------------------------
         "text_stats": lambda s, d: _docs(s, d).select(
             "doc_id",
@@ -175,6 +178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textkit.stopword_count_col("text"),
             textkit.lang_guess_col("text"),
             textkit.fingerprint_col("text"),
+        ),
+        "text_quality": lambda s, d: _docs(s, d).select(
+            "doc_id",
+            textkit.quality_score_col("text"),
+            textkit.bpe_token_count_col("text"),
         ),
         # --- similarity search ----------------------------------------------
         "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
@@ -348,6 +356,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
             "JOIN sizes sb ON doc_b = sb.doc_id\n"
             "WHERE 10 * n_inter >= 8 * (sa.n + sb.n - n_inter)"
+        ),
+        "dedup_embedding_cosine": (
+            "WITH e AS (SELECT vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings),\n"
+            "n AS (SELECT vec_id, v,"
+            "  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)\n"
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,\n"
+            "  round(list_sum(list_transform(generate_series(1, len(a.v)),"
+            "    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine\n"
+            "FROM n a JOIN n b ON a.vec_id < b.vec_id\n"
+            "WHERE list_sum(list_transform(generate_series(1, len(a.v)),"
+            "  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.42"
+        ),
+        "text_quality": (
+            "WITH t AS (SELECT doc_id,"
+            "  CASE WHEN trim(text) = '' THEN 0"
+            "    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,"
+            "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
+            "    x -> list_contains(['the','a','of','and','to'], x))) AS sw,"
+            "  len(regexp_extract_all(text,"
+            "    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            "| ?[^A-Za-z0-9\\s]+|\\s+')) AS nbpe"
+            "  FROM documents)\n"
+            "SELECT doc_id,"
+            "  round(0.5 * least(1.0, nt / 64.0) + 0.5 * least(1.0,"
+            "    4.0 * (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE) / nt"
+            "           ELSE 0.0 END)), 6) AS quality,"
+            "  nbpe AS n_bpe_tokens "
+            "FROM t"
         ),
         "text_stats": (
             "WITH t AS (SELECT doc_id,"

@@ -238,3 +238,77 @@ def simhash_pairs(
         .distinct()
     )
     return pairs
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine(a, b) >= threshold, a < b.
+
+    Same blocked-GEMM layout as similarity.brute_force_topk (pack unit
+    vectors into dense blocks, cross-join the block grid, one numpy matmul
+    per pair of blocks) but emitting threshold survivors instead of top-k —
+    the pair space is O(n^2) but per-task memory stays O(block_rows^2) and
+    the output is only the near-dup edges. For 10^9+ vectors compose with
+    the LSH bucketer (similarity.lsh_topk's stamp stage) to bound the grid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .shipping import ensure_shipped
+    from .similarity import _pack_blocks
+
+    ensure_shipped(embeddings.sparkSession)
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    n = embeddings.count()
+    nb = max(1, -(-n // block_rows))
+    a = _pack_blocks(embeddings, id_col, vec_col, nb).select(
+        F.col("ids").alias("a_ids"), F.col("mat").alias("a_mat"),
+        F.col("n").alias("a_n"), F.col("dim").alias("dim"),
+        F.col("block").alias("a_block"),
+    )
+    b = _pack_blocks(embeddings, id_col, vec_col, nb).select(
+        F.col("ids").alias("b_ids"), F.col("mat").alias("b_mat"),
+        F.col("n").alias("b_n"), F.col("block").alias("b_block"),
+    )
+    # upper-triangular block grid: (a_block <= b_block) halves the matmuls
+    grid = a.crossJoin(b).where(F.col("a_block") <= F.col("b_block"))
+
+    def score(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                a_ids = np.frombuffer(r.a_ids, dtype=np.int64)
+                b_ids = np.frombuffer(r.b_ids, dtype=np.int64)
+                if not len(a_ids) or not len(b_ids):
+                    continue
+                am = np.frombuffer(r.a_mat, dtype=np.float64).reshape(r.a_n, r.dim)
+                bm = np.frombuffer(r.b_mat, dtype=np.float64).reshape(r.b_n, r.dim)
+                sims = am @ bm.T
+                ii, jj = np.where(
+                    (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                )
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": a_ids[ii],
+                                "doc_b": b_ids[jj],
+                                "cosine": sims[ii, jj],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                    {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+                )
+            )
+
+    return grid.mapInPandas(score, "doc_a long, doc_b long, cosine double")

@@ -1,0 +1,65 @@
+"""Structured-Streaming frontier drain (SURVEY.md §2.6 ST-1).
+
+The reference's pull-iterator (`CDXFetcherIter`,
+/root/reference/cdx_toolkit/__init__.py:157-205) buffers one page and
+refills on demand; the Spark-native equivalent drains candidate files as
+micro-batches: `readStream` over a candidates directory, each micro-batch
+fed through the SAME FrontierDrain epoch pipeline (dedup -> politeness ->
+crawl-ordered batch write) via foreachBatch.
+
+Exactly-once across restarts comes from two cooperating layers:
+- Spark's streaming checkpoint (offset log) remembers which candidate
+  files each micro-batch consumed, so a restarted query replays only
+  unfinished batches;
+- FrontierDrain's own epoch manifest + seen-store make a replayed batch
+  idempotent: its urls are already in the seen set, so a replay schedules
+  nothing new, and epoch outputs are overwritten atomically per epoch
+  (scheduler.drain_epoch docstring).
+
+Trigger.AvailableNow bounds a run: process everything currently in the
+directory, then stop — the streaming analogue of the reference's
+StopIteration at 'last endpoint'.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .scheduler import FrontierDrain
+
+CANDIDATE_SCHEMA = "url string, priority int, discovered_ts long"
+
+
+def drain_stream(
+    spark: SparkSession,
+    candidates_dir: str,
+    drain: FrontierDrain,
+    robots=None,
+    checkpoint_dir: str | None = None,
+    max_files_per_batch: int = 8,
+):
+    """Start an AvailableNow micro-batch drain over candidate parquet files.
+
+    Returns the StreamingQuery; callers .awaitTermination() it. Restarting
+    with the same checkpoint_dir resumes from the last committed batch.
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(drain.workdir, "_checkpoint")
+    source = (
+        spark.readStream.schema(CANDIDATE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(candidates_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        # foreachBatch gives at-least-once; drain_epoch's seen-store makes
+        # the replay a no-op, so the composition is effectively-once.
+        drain.drain_epoch(batch_df, robots=robots)
+
+    return (
+        source.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -14,12 +14,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def synth_candidates(spark: SparkSession, n: int) -> DataFrame:
-    df = spark.range(n).withColumn("bucket", F.pmod(F.col("id"), F.lit(10)))
-    host = F.when(F.col("bucket") < 4, F.lit("hot-cdn.example.com")).otherwise(
+def synth_candidates(spark: SparkSession, n: int, offset: int = 0) -> DataFrame:
+    """Candidate slice [offset, offset+n). The page id (`uid`) is globally
+    unique except for two deliberate collision channels:
+
+    - intra-epoch: ids past offset + 0.9n wrap back into this epoch's uid
+      range (~10% duplicate urlkeys for the dedup window to collapse);
+    - cross-epoch: when offset > 0, ~10% of rows re-reference a uid from
+      the PREVIOUS slice, so steady-state epochs exercise the bloom probe
+      and exact anti-join against a populated seen store.
+
+    The long-tail host modulus is forced odd/coprime-ish to the uid space
+    so hosts don't alias pages into accidental extra duplicates."""
+    u = max(n * 9 // 10, 1)
+    df = spark.range(offset, offset + n)
+    uid = F.lit(offset) + F.pmod(F.col("id") - offset, F.lit(u))
+    if offset > 0:
+        uid = F.when(
+            F.pmod(F.col("id"), F.lit(10)) == 9,
+            F.greatest(uid - F.lit(n), F.lit(0)),
+        ).otherwise(uid)
+    df = df.withColumn("uid", uid)
+    host = F.when(
+        F.pmod(F.col("uid"), F.lit(10)) < 4, F.lit("hot-cdn.example.com")
+    ).otherwise(
         F.concat(
             F.lit("site"),
-            F.pmod(F.col("id") * 2654435761, F.lit(max(n // 50, 1))),
+            F.pmod(F.col("uid") * 2654435761, F.lit(max(n // 50, 1) | 1)),
             F.lit(".example.org"),
         )
     )
@@ -27,9 +48,7 @@ def synth_candidates(spark: SparkSession, n: int) -> DataFrame:
         F.when(F.pmod(F.col("id"), F.lit(17)) == 0, F.lit("https://www."))
         .otherwise(F.lit("http://"))
     )
-    url = F.concat(
-        scheme, host, F.lit("/page/"), (F.col("id") % (n * 9 // 10)).cast("string")
-    )
+    url = F.concat(scheme, host, F.lit("/page/"), F.col("uid").cast("string"))
     return df.select(
         url.alias("url"),
         F.pmod(F.col("id"), F.lit(3)).cast("int").alias("priority"),

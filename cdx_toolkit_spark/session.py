@@ -34,6 +34,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # off-heap Tungsten buffers: sort/shuffle/agg memory leaves the Java
+        # heap, so GC pauses stop growing with task concurrency — measured
+        # 1.5x on 32-core frontier drains (see BENCH.md); on a cluster the
+        # same conf keeps executor heaps small and steady
+        .config("spark.memory.offHeap.enabled", "true")
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

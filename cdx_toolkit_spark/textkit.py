@@ -123,3 +123,25 @@ def fingerprint_col(text) -> Column:
     whitespace-collapsed text. Portable (DuckDB md5 produces identical hex)."""
     norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.md5(norm).alias("fingerprint")
+
+
+# GPT-2-style pre-tokenizer regex, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+# backrefs. Contractions | optional-space word | optional-space number |
+# optional-space punctuation-run | whitespace-run.
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count_col(text) -> Column:
+    """BPE-ish token count: number of GPT-2-pretokenizer matches.
+
+    JVM-side regexp_count (codegen, no Python). Oracle twin:
+    ``len(regexp_extract_all(text, BPE_TOKEN_RE))`` in DuckDB — the pattern
+    is written to the common Java/RE2 subset so both engines agree."""
+    return F.regexp_count(_col(text), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens")
