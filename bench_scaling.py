@@ -48,7 +48,13 @@ def run_level(cores: int, zpath: str) -> dict:
     )
     if not os.path.exists(spark_submit):
         spark_submit = "spark-submit"
+    # pin the whole process tree (JVM + GC threads + python workers) to
+    # exactly `cores` CPUs: in plain local[N] mode only TASK slots are
+    # bounded — GC, shuffle IO and pandas-UDF workers spill onto the other
+    # host cores, silently inflating small-N throughput and understating
+    # scaling efficiency
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         spark_submit,
         "--master", f"local[{cores}]",
         "--conf", f"spark.sql.shuffle.partitions={max(cores, 32)}",
@@ -164,7 +170,11 @@ def main() -> None:
         "parallelism. Scaling compares",
         "the best (steady-state) epoch: a warm JVM and a populated seen "
         "store — the regime a",
-        "long-lived crawl operates in. Determinism check: every level "
+        "long-lived crawl operates in. Each level is pinned with "
+        "`taskset -c 0-(N-1)` so GC threads,",
+        "shuffle IO and pandas-UDF workers are confined to the level's "
+        "cores (plain local[N]",
+        "bounds only task slots). Determinism check: every level "
         "scheduled the identical",
         f"URL count ({next(iter(counts)):,}).\n",
         "| cores | wall (s, all epochs) | URLs/s (overall) | URLs/s (steady epoch) |",
