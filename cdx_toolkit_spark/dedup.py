@@ -46,6 +46,55 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def hash64_col(col, seed: int = 0, portable: bool = False):
+    """64-bit hash of a string column.
+
+    portable=False: xxhash64 — the fast JVM production path.
+    portable=True:  the top 64 bits of md5('<value>:<seed>') assembled from
+    two 32-bit hex parses. md5 is bit-identical in Spark and DuckDB, so
+    portable signatures/buckets are reproducible in ANSI-ish SQL — this is
+    what lets MinHash/SimHash entries carry full value-hash oracles instead
+    of rows-only checks. hash64_sql() is the DuckDB twin; keep in lockstep.
+    """
+    if not portable:
+        return F.xxhash64(col, F.lit(seed))
+    h = F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(seed))))
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # hi < 2^32: Java shiftleft wraps to the signed two's-complement value
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+MERSENNE31 = (1 << 31) - 1  # prime modulus of the affine minhash family
+
+
+def affine_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (multiplier, offset) pairs for the universal-hash family
+    h_j = (h32 * a_j + b_j) mod (2^31 - 1). The modulo is essential: without
+    it the map is monotone in h32 and every h_j shares one argmin shingle —
+    i.e. ONE effective hash function. h32 < 2^32, a_j < 2^30 keeps the
+    product below 2^62: overflow-free, hence identical, in Spark ANSI mode
+    AND DuckDB BIGINT. One md5 per shingle + num_hashes multiply-add-mods
+    replaces num_hashes md5 calls (~6x measured)."""
+    return [
+        (((2654435761 * (j + 1)) % (1 << 30)) | 1, (40503 * (j + 7)) % (1 << 30))
+        for j in range(num_hashes)
+    ]
+
+
+def hash64_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of hash64_col(..., portable=True). DuckDB raises on
+    BIGINT shift overflow, so the sign bit is applied as an additive
+    -2^63 offset instead of shifting a full 32-bit hi part."""
+    h = f"md5({expr} || ':{seed}')"
+    hi = f"CAST(concat('0x', substring({h}, 1, 8)) AS BIGINT)"
+    lo = f"CAST(concat('0x', substring({h}, 9, 8)) AS BIGINT)"
+    return (
+        f"(((({hi}) & 2147483647) << 32) | ({lo})) + "
+        f"(CASE WHEN ({hi}) >= 2147483648 THEN -9223372036854775808 ELSE 0 END)"
+    )
+
+
 def ngram_shingles_col(n: int = 3, text_col: str = "text"):
     """Array of word n-gram shingles (order-preserving, then de-duplicated).
 
@@ -112,19 +161,35 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """k MinHash values per document: explode shingles once, take k parallel
-    min(xxhash64(shingle, seed_j)) aggregations. Entirely JVM-side; partial
+    min(hash64(shingle, seed_j)) aggregations. Entirely JVM-side; partial
     (map-side) min() means the shuffle carries k longs per doc, not shingles.
+    portable=True switches to the md5-derived hash (SQL-reproducible).
     """
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(ngram_shingles_col(n, text_col)).alias("shingle"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
+    if portable:
+        # one md5 per shingle, then k affine rehashes (see affine_consts) —
+        # the md5 is the portability anchor, the rehash family is the speed
+        h32 = hash64_col(F.col("shingle"), 0, True).bitwiseAND(
+            F.lit((1 << 32) - 1)
+        )
+        sh = sh.select("doc", h32.alias("h"))
+        aggs = [
+            F.min(
+                (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+            ).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(affine_consts(num_hashes))
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -135,21 +200,29 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: hash each band of the signature to a
     bucket, self-join buckets. rows_per_band = num_hashes // bands.
 
     Returns distinct (doc_a, doc_b) candidates; callers verify with
     ngram_jaccard_pairs or accept LSH's probabilistic guarantee.
+    portable=True uses md5-derived hashes + md5 band keys so the oracle can
+    reproduce the exact candidate set in SQL.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, portable)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_key = (
+            F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+            if portable
+            else F.xxhash64(*cols)  # long key — cheaper shuffle at scale
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+            F.struct(F.lit(b).alias("band"), band_key.alias("sig"))
         )
     buckets = sig.select(
         F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
@@ -169,14 +242,16 @@ def simhash_signatures(
     bits: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, per-bit ±1 votes summed per doc,
-    sign -> bit. Pure aggregation (64 conditional sums), JVM-side."""
+    """64-bit SimHash: per-token hash64, per-bit ±1 votes summed per doc,
+    sign -> bit. Pure aggregation (64 conditional sums), JVM-side.
+    portable=True uses the md5-derived hash (SQL-reproducible)."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_col(text_col)).alias("tok"),
     ).where(F.col("tok") != "")
-    h = F.xxhash64(F.col("tok"))
+    h = hash64_col(F.col("tok"), 0, portable)
     votes = [
         F.sum(
             F.when(
@@ -200,15 +275,29 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Pigeonhole banding: split 64 bits into max_hamming+1 chunks; any pair
     within distance d must agree on >=1 chunk, so join per-chunk equality,
-    then verify with bit_count(xor). Avoids the quadratic cross join."""
-    sig = simhash_signatures(docs, 64, id_col, text_col)
+    then verify with bit_count(xor). Avoids the quadratic cross join.
+
+    Soundness guard: banding is only selective when chunk keys are wide.
+    At width w the expected bucket collision rate is 2^-w per chunk, so a
+    narrow width (e.g. max_hamming=12 -> w=4 -> 16 keys) degenerates to a
+    near-cross-join (~n^2/16 candidates). We require w >= 16 (chunks <= 4,
+    i.e. max_hamming <= 3). For larger radii use longer signatures with a
+    multi-index — not this kernel."""
+    sig = simhash_signatures(docs, 64, id_col, text_col, portable)
     chunks = max_hamming + 1
     width = 64 // chunks
+    if width < 16:
+        raise ValueError(
+            f"simhash_pairs banded path requires chunk width >= 16 bits "
+            f"(max_hamming <= 3); got max_hamming={max_hamming} -> width={width}. "
+            f"Narrow chunks degenerate to a near-cross-join at scale."
+        )
     chunk_cols = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -290,15 +379,27 @@ def embedding_cosine_pairs(
                 am = np.frombuffer(r.a_mat, dtype=np.float64).reshape(r.a_n, r.dim)
                 bm = np.frombuffer(r.b_mat, dtype=np.float64).reshape(r.b_n, r.dim)
                 sims = am @ bm.T
-                ii, jj = np.where(
-                    (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-                )
+                if r.a_block == r.b_block:
+                    # diagonal cell: both orderings present, keep a < b
+                    ii, jj = np.where(
+                        (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                    )
+                    da, db = a_ids[ii], b_ids[jj]
+                else:
+                    # off-diagonal cell: each unordered pair appears exactly
+                    # once (ids live in exactly one block) — block order is
+                    # hash order, NOT id order, so canonicalize by min/max
+                    # instead of filtering (filtering would drop every pair
+                    # whose smaller id landed in the higher block)
+                    ii, jj = np.where(sims >= threshold)
+                    da = np.minimum(a_ids[ii], b_ids[jj])
+                    db = np.maximum(a_ids[ii], b_ids[jj])
                 if len(ii):
                     outs.append(
                         pd.DataFrame(
                             {
-                                "doc_a": a_ids[ii],
-                                "doc_b": b_ids[jj],
+                                "doc_a": da,
+                                "doc_b": db,
                                 "cosine": sims[ii, jj],
                             }
                         )
@@ -312,3 +413,96 @@ def embedding_cosine_pairs(
             )
 
     return grid.mapInPandas(score, "doc_a long, doc_b long, cosine double")
+
+
+def lsh_bucketed_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seeds: tuple[int, ...] = (42,),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block: int = 4096,
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH bucket, then exact
+    cosine only WITHIN buckets.
+
+    This is the composition `embedding_cosine_pairs`'s docstring promises:
+    the O(n^2) block grid collapses to sum(bucket^2) — at 10^9 vectors with
+    2^n_planes well-spread buckets that is ~n^2/2^n_planes pairs, and the
+    shuffle is a single groupBy(bucket). Recall < 1 by construction (a pair
+    is found only if some seed's table buckets them together); pass several
+    `seeds` to union tables (candidates de-duplicated before emit).
+
+    Per-bucket work is one numpy GEMM over ascending-sorted ids (so the
+    upper triangle IS the canonical doc_a < doc_b orientation); buckets
+    larger than max_block are processed in row chunks to bound memory at
+    O(max_block * bucket), compute stays O(bucket^2) — at scale add planes
+    instead. Returns distinct (doc_a, doc_b, cosine).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .shipping import ensure_shipped
+    from .similarity import lsh_bucket_udf
+
+    ensure_shipped(embeddings.sparkSession)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    dim = len(base.select("embedding").first()[0])
+    # StructType.add MUTATES in place — never call it on a live DataFrame's
+    # cached schema object
+    schema = StructType(
+        list(base.schema.fields) + [StructField("bucket", LongType())]
+    )
+
+    stamped = None
+    for si, seed in enumerate(seeds):
+        s = base.mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema)
+        # disambiguate tables: same bucket id under different seeds must not collide
+        s = s.withColumn("bucket", F.col("bucket") + F.lit(si << n_planes))
+        stamped = s if stamped is None else stamped.unionByName(s)
+
+    def pairs_in_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        outs = []
+        for lo in range(0, len(ids), max_block):
+            hi = min(lo + max_block, len(ids))
+            sims = mat[lo:hi] @ mat[lo:].T  # rows lo..hi vs cols lo..end
+            ii, jj = np.where(sims >= threshold)
+            keep = (jj + lo) > (ii + lo)  # strict upper triangle in global coords
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ii + lo],
+                            "doc_b": ids[jj + lo],
+                            "cosine": sims[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+            )
+        return pd.concat(outs)
+
+    out = stamped.groupBy("bucket").applyInPandas(
+        pairs_in_bucket, "doc_a long, doc_b long, cosine double"
+    )
+    # multi-seed tables can rediscover the same pair; cosine is the same
+    # deterministic float64 computation, so distinct() on all three is exact
+    return out.distinct() if len(seeds) > 1 else out

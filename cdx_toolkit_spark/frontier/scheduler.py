@@ -100,7 +100,7 @@ class FrontierDrain:
 
     def __init__(self, spark: SparkSession, workdir: str,
                  batch_window: float = 60.0, n_shards: int = 8,
-                 m_bits: int = 1 << 18, mitigate_skew: bool = False):
+                 m_bits: int = 1 << 18, mitigate_skew: bool = True):
         self.spark = spark
         self.workdir = workdir
         self.batch_window = batch_window
@@ -126,10 +126,20 @@ class FrontierDrain:
         eps = self.epochs()
         return eps[-1]["epoch"] if eps else 0
 
+    def _marker_path(self, epoch: int) -> str:
+        return os.path.join(
+            self.workdir, OUT_DIRNAME, f"ep_{epoch}", "_EPOCH_COMMITTED"
+        )
+
     def _seen_exact(self) -> DataFrame | None:
+        # per-epoch subdirs (seen_exact/ep_N) so the seen-store update is an
+        # idempotent OVERWRITE — a replayed epoch cannot double-append
         path = os.path.join(self.workdir, SEEN_DIRNAME)
         try:
-            return self.spark.read.parquet(path)
+            return (
+                self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(path)
+            )
         except Exception:
             return None
 
@@ -148,13 +158,26 @@ class FrontierDrain:
                     robots: DataFrame | None = None) -> dict:
         """One epoch: dedup + schedule + write. Returns the lineage record.
 
-        Idempotent on rerun of a half-finished epoch: outputs land under
-        epoch=N dirs that are overwritten atomically per epoch, and the
-        manifest line is appended only after every write succeeded — a
-        crash before that line replays the epoch from its inputs.
+        Effectively-once via a TWO-PHASE commit:
+          phase 1 — compute + write schedule/ep_N, then write the per-epoch
+            commit marker (_EPOCH_COMMITTED, tmp+rename). No global state has
+            been touched yet, so a crash anywhere before the marker replays
+            the epoch from its inputs and regenerates the identical output.
+          phase 2 — bookkeeping (seen-store OVERWRITE of seen_exact/ep_N,
+            bloom delta guarded by the marker's bloom_version_before,
+            host-state overwrite), then the manifest line.
+        A crash between marker and manifest resumes via the marker: the
+        committed output is kept (never re-drained against a seen set that
+        already contains its urls — the lost-output window ADVICE.md flags),
+        and phase 2 re-runs idempotently.
         """
         spark = self.spark
         epoch = self.last_epoch() + 1
+        marker = self._marker_path(epoch)
+        if os.path.exists(marker):
+            # phase-1 output committed by a crashed run — finish phase 2
+            with open(marker) as fd:
+                return self._finish_epoch(json.load(fd))
         robots = robots if robots is not None else spark.createDataFrame(
             [], "host string, crawl_delay_s double, disallow_prefixes array<string>"
         )
@@ -202,22 +225,52 @@ class FrontierDrain:
         )
         written = self._read_epoch(out_path, scheduled.schema)
         n_scheduled = written.count()
+        fresh.unpersist()
 
-        # post-write bookkeeping: three independent consumers of `written`
-        # (seen-store append, bloom-shard delta, politeness carryover) run as
-        # CONCURRENT Spark jobs — they were ~18s of per-epoch serial time
-        # (Amdahl-measured), now overlapped; all read a parquet-backed df,
-        # so there is no shared lineage to race on
+        # phase-1 commit: the schedule output is durable; record everything
+        # phase 2 needs (incl. the bloom version BEFORE bookkeeping, so a
+        # replayed phase 2 can tell whether the bloom delta already applied)
+        rec0 = {
+            "epoch": epoch,
+            "n_scheduled": n_scheduled,
+            "bloom_version_before": self.store.latest_version(),
+            "batch_window": self.batch_window,
+            "out_path": out_path,
+        }
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fd:
+            fd.write(json.dumps(rec0))
+        os.replace(tmp, marker)
+        return self._finish_epoch(rec0)
+
+    def _finish_epoch(self, rec0: dict) -> dict:
+        """Phase 2: bookkeeping + manifest for a committed epoch output.
+
+        Every step is idempotent: seen-store and host-state are per-epoch
+        OVERWRITEs; the bloom delta is skipped when latest_version moved past
+        bloom_version_before (a crashed run already applied it — counting
+        shards must not double-count or later deletes would under-delete).
+        """
+        epoch = rec0["epoch"]
+        n_scheduled = rec0["n_scheduled"]
+        written = self.schedule_df(epoch)
+
+        # bookkeeping: three independent consumers of `written` (seen-store,
+        # bloom-shard delta, politeness carryover) run as CONCURRENT Spark
+        # jobs — they were ~18s of per-epoch serial time (Amdahl-measured),
+        # now overlapped; all read a parquet-backed df, no shared lineage
         from concurrent.futures import ThreadPoolExecutor
 
         done = written.select("urlkey", "url_hash")
 
         def update_seen():
-            done.write.mode("append").parquet(
-                os.path.join(self.workdir, SEEN_DIRNAME)
+            done.write.mode("overwrite").parquet(
+                os.path.join(self.workdir, SEEN_DIRNAME, f"ep_{epoch}")
             )
 
         def update_bloom():
+            if self.store.latest_version() > rec0["bloom_version_before"]:
+                return self.store.latest_version()  # delta already applied
             return (
                 self.store.add(done, "url_hash")
                 if self.store.latest_version() > 0
@@ -249,13 +302,12 @@ class FrontierDrain:
             bloom_version = self.store.latest_version()
             update_state()
 
-        fresh.unpersist()
         record = {
             "epoch": epoch,
             "n_scheduled": n_scheduled,
             "bloom_version": bloom_version,
-            "batch_window": self.batch_window,
-            "out_path": out_path,
+            "batch_window": rec0["batch_window"],
+            "out_path": rec0["out_path"],
         }
         with open(self._manifest_path(), "a") as fd:
             fd.write(json.dumps(record) + "\n")

@@ -11,10 +11,13 @@ Exactly-once across restarts comes from two cooperating layers:
 - Spark's streaming checkpoint (offset log) remembers which candidate
   files each micro-batch consumed, so a restarted query replays only
   unfinished batches;
-- FrontierDrain's own epoch manifest + seen-store make a replayed batch
-  idempotent: its urls are already in the seen set, so a replay schedules
-  nothing new, and epoch outputs are overwritten atomically per epoch
-  (scheduler.drain_epoch docstring).
+- FrontierDrain's two-phase epoch commit makes the replayed batch safe at
+  EVERY crash point: before the per-epoch commit marker no global state
+  (seen set, bloom, host state) has been touched, so the replay re-drains
+  and regenerates identical output; after the marker the committed output
+  is kept and only the idempotent bookkeeping re-runs — a replay can never
+  dedupe an epoch's urls against a seen set that already contains them and
+  overwrite its schedule with an empty one (the lost-output window).
 
 Trigger.AvailableNow bounds a run: process everything currently in the
 directory, then stop — the streaming analogue of the reference's
@@ -53,8 +56,9 @@ def drain_stream(
     )
 
     def process(batch_df, batch_id: int) -> None:
-        # foreachBatch gives at-least-once; drain_epoch's seen-store makes
-        # the replay a no-op, so the composition is effectively-once.
+        # foreachBatch gives at-least-once; drain_epoch's two-phase commit
+        # (marker before any global-state mutation, committed epochs resumed
+        # not re-drained) makes the composition effectively-once.
         drain.drain_epoch(batch_df, robots=robots)
 
     return (

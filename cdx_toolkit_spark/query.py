@@ -36,6 +36,7 @@ from . import planner
 from .compat import munge_filter
 from .surt import surt
 from .timeutils import (
+    normalize_crawl,
     pad_timestamp,
     pad_timestamp_up,
     timestamp_to_time,
@@ -114,9 +115,17 @@ def url_match_predicate(url: str) -> Column:
 class CdxQuery:
     """Plan builder over a capture DataFrame (see cdx_view.CDX_COLUMNS)."""
 
-    def __init__(self, captures: DataFrame, dialect: str = "cc"):
+    def __init__(self, captures: DataFrame, dialect: str = "cc",
+                 crawls: list[str] | None = None):
         self.captures = captures
         self.dialect = dialect
+        # crawl *catalog* — the reference never scans data to learn which
+        # crawls exist; it reads collinfo.json metadata (commoncrawl.py:36-75).
+        # Inject the known list (Iceberg partition metadata on a cluster), or
+        # let _crawl_list discover once and cache for the instance lifetime.
+        self._crawls: list[str] | None = (
+            sorted(crawls) if crawls is not None else None
+        )
 
     # -- core composition -----------------------------------------------
 
@@ -129,11 +138,32 @@ class CdxQuery:
             pred = hi if pred is None else (pred & hi)
         return pred
 
-    def _crawl_list(self):
-        return [
-            r["crawl"]
-            for r in self.captures.select("crawl").distinct().collect()
-        ]
+    def _crawl_list(self) -> list[str]:
+        """Crawl universe for endpoint selection — metadata first, never a
+        per-query scan. Priority: (1) injected catalog; (2) hive partition
+        values parsed from the file listing (pure metadata, no Spark job);
+        (3) one distinct() scan, cached for the instance lifetime (the
+        reference's 30-day collinfo.json cache, scoped to this query object).
+        """
+        if self._crawls is not None:
+            return self._crawls
+        vals: set[str] = set()
+        try:
+            for f in self.captures.inputFiles():
+                m = re.search(r"/crawl=([^/]+)/", f)
+                if m:
+                    from urllib.parse import unquote
+
+                    vals.add(unquote(m.group(1)))
+        except Exception:
+            pass  # derived views without a direct file scan
+        if not vals:
+            vals = {
+                r["crawl"]
+                for r in self.captures.select("crawl").distinct().collect()
+            }
+        self._crawls = sorted(vals)
+        return self._crawls
 
     def build(
         self,
@@ -158,14 +188,14 @@ class CdxQuery:
         # crawl (partition) pruning — reference endpoint selection semantics,
         # including the deliberate ±1-index bisect slop (planner.bisect_cc)
         if crawl is not None:
-            names = planner.match_cc_crawls(
+            specs = normalize_crawl(
                 [str(c) for c in crawl] if isinstance(crawl, (list, tuple))
-                else [str(crawl)],
-                sorted(self._crawl_list()),
+                else [str(crawl)]
             )
+            names = planner.match_cc_crawls(specs, self._crawl_list())
             df = df.where(F.col("crawl").isin(names))
         elif params.get("from_ts") or params.get("to"):
-            cc_map, cc_times = planner.make_cc_maps(sorted(self._crawl_list()))
+            cc_map, cc_times = planner.make_cc_maps(self._crawl_list())
             if cc_times:
                 from_t = (
                     timestamp_to_time(str(params["from_ts"]))

@@ -143,8 +143,12 @@ def brute_force_topk(
                 # self-pairs out of contention
                 sims[q_ids[:, None] == n_ids[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
-                # partial top-k per query row within this block pair
-                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                # partial top-k per query row within this block pair.
+                # _pack_blocks stores ids ascending, so a STABLE sort on
+                # -sims breaks cosine ties by ascending n_id — the partial
+                # selection must honor the (-cosine, n_id) order or a tied
+                # smallest-id neighbor can be discarded before the merge.
+                part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
                 rows = np.repeat(q_ids, kk)
                 cols = n_ids[part.ravel()]
                 vals = np.take_along_axis(sims, part, axis=1).ravel()
