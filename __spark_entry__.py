@@ -29,6 +29,7 @@ from pyspark.sql import Window
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
 from cdx_toolkit_spark import dedup, similarity, textkit, multimodal
+from cdx_toolkit_spark import warc as warcmod
 
 _CDX_COLS = (
     'urlkey, "timestamp", url, status, mime, mime_detected, digest, '
@@ -195,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             _emb(s, d), k=5, n_planes=10,
         ),
+        # --- WARC path (S-7 ingest, F-11 gzip split, F-12 header parse) -------
+        "warc_ingest": lambda s, d: _warc_ingest(s, d),
         # --- multimodal plumbing ---------------------------------------------
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(s, d)
@@ -226,6 +229,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/customer.parquet"),
         ),
     }
+
+
+def _warc_ingest(s: SparkSession, d: str) -> DataFrame:
+    """S-7/F-11/F-12 end-to-end: build (once) a deterministic multi-segment
+    gzip WARC fixture derived from `documents` via the real segmented sink
+    (S-9), ingest it with read_warc, and emit per-record parsed fields. The
+    oracle reconstructs every field arithmetically from `documents`, and
+    digest_ok re-verifies the CC sha1:B32 payload digest written into the
+    headers — the digest kernel is checked end-to-end, not just golden."""
+    from cdx_toolkit_spark.textkit import digest_b32_col, text_from_html_udf
+
+    fx = warcmod.ensure_warc_fixture(s, d)
+    recs = warcmod.read_warc(s, f"{fx}/*.warc.gz").where(
+        F.col("warc_type").isin("response", "revisit")
+    )
+    return recs.select(
+        F.regexp_extract("record_id", r"(\d{12})>$", 1).cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        F.col("warc_type"),
+        F.col("http_status"),
+        F.length("payload").cast("long").alias("n_payload_bytes"),
+        text_from_html_udf(F.col("payload")).alias("text"),
+        (
+            F.col("payload_digest")
+            == F.concat(F.lit("sha1:"), digest_b32_col(F.col("payload")))
+        ).alias("digest_ok"),
+    )
+
+
+def _warc_ingest_oracle() -> str:
+    """Arithmetic reconstruction of the WARC fixture's parsed fields from
+    `documents` (same doc_id arithmetic as cdx_view / synth_warc_records)."""
+    from cdx_toolkit_spark.cdx_view import _MIME, _STATUS, _TS, _URL
+
+    iso = (
+        f"(substring({_TS},1,4) || '-' || substring({_TS},5,2) || '-' || "
+        f"substring({_TS},7,2) || 'T' || substring({_TS},9,2) || ':' || "
+        f"substring({_TS},11,2) || ':' || substring({_TS},13,2) || 'Z')"
+    )
+    rev = f"({_MIME} = 'warc/revisit')"
+    return (
+        "SELECT doc_id,\n"
+        f"  {_URL} AS url,\n"
+        f"  {iso} AS warc_date,\n"
+        f"  CASE WHEN {rev} THEN 'revisit' ELSE 'response' END AS warc_type,\n"
+        f"  CASE WHEN {rev} THEN CAST(NULL AS INT) "
+        f"ELSE CAST({_STATUS} AS INT) END AS http_status,\n"
+        f"  CASE WHEN {rev} THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_payload_bytes,\n"
+        f"  CASE WHEN {rev} THEN '' ELSE text END AS text,\n"
+        "  TRUE AS digest_ok\n"
+        "FROM documents"
+    )
 
 
 def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16) -> str:
@@ -548,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
             ") t WHERE rk <= 3"
         ),
+        "warc_ingest": _warc_ingest_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_oracle(k=5, n_planes=10, seed=42, dim=64),
