@@ -29,6 +29,7 @@ from pyspark.sql import Window
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
 from cdx_toolkit_spark import dedup, similarity, textkit, multimodal
+from cdx_toolkit_spark import ingest
 from cdx_toolkit_spark import warc as warcmod
 
 _CDX_COLS = (
@@ -198,6 +199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- WARC path (S-7 ingest, F-11 gzip split, F-12 header parse) -------
         "warc_ingest": lambda s, d: _warc_ingest(s, d),
+        # --- wire-format decode (S-4 pywb JSONL, S-5 IA list-of-lists) --------
+        "pywb_jsonl_decode": lambda s, d: ingest.decode_pywb_jsonl(
+            ingest.encode_pywb_jsonl(cdx_captures(s, d))
+        ),
+        "ia_lol_decode": lambda s, d: ingest.decode_ia_lol(
+            ingest.encode_ia_lol(cdx_captures(s, d), pages=4)
+        ),
         # --- multimodal plumbing ---------------------------------------------
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(s, d)
@@ -606,6 +614,18 @@ def oracle_sql() -> dict[str, str]:
             ") t WHERE rk <= 3"
         ),
         "warc_ingest": _warc_ingest_oracle(),
+        # decoders: wire text round-trips the derived view, so the oracle is
+        # the view itself (crawl re-derived from the filename path on the
+        # Spark side — equal to the view's crawl by construction)
+        "pywb_jsonl_decode": _wrap(
+            "SELECT urlkey, \"timestamp\", url, status, mime, mime_detected, "
+            "digest, length, \"offset\", filename, crawl, languages, redirect "
+            "FROM cdx"
+        ),
+        "ia_lol_decode": _wrap(
+            "SELECT urlkey, \"timestamp\", url, status, mime, digest, length "
+            "FROM cdx"
+        ),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_oracle(k=5, n_planes=10, seed=42, dim=64),
