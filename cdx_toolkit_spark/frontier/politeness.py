@@ -51,7 +51,8 @@ def attach_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
-              n_range_parts: int | None = None) -> DataFrame:
+              n_range_parts: int | None = None,
+              with_gate: bool = False) -> DataFrame:
     """Deterministic per-host rank by (priority, discovered_ts, urlkey).
 
     mitigate_skew=False: one window per host — simplest plan, but a hot
@@ -63,15 +64,31 @@ def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
     inside (host, partition); add broadcast cumulative offsets per
     (host, partition). Identical global rank (order keys are unique per
     host after dedupe — urlkey is the final tiebreak), regardless of where
-    the sampled range boundaries land."""
+    the sampled range boundaries land.
+
+    with_gate=True additionally emits `gate` — the retry/backoff prefix
+    term (ST-3): gate_i = max_{j<=i} (next_attempt_ts_j - rank_j * delay),
+    so fetch_time_i = max(next_free, gate_i) + rank_i * delay realizes the
+    serial recurrence t_i = max(t_{i-1} + delay, next_attempt_i). Computed
+    as a running max in the SAME window as the rank (no extra shuffle); the
+    skew-safe branch runs it two-phase like the rank itself (local running
+    max + broadcast prefix max over earlier range partitions)."""
     order = [
         F.col("priority").asc(),
         F.col("discovered_ts").asc(),
         F.col("urlkey").asc(),
     ]
+    na = F.coalesce(F.col("next_attempt_ts"), F.lit(0.0)) if with_gate else None
     if not mitigate_skew:
         w = Window.partitionBy("host").orderBy(*order)
-        return frontier.withColumn("host_rank", F.row_number().over(w) - 1)
+        out = frontier.withColumn("host_rank", F.row_number().over(w) - 1)
+        if with_gate:
+            adj = na - F.col("host_rank") * F.col("crawl_delay_s")
+            run = Window.partitionBy("host").orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            out = out.withColumn("gate", F.max(adj).over(run))
+        return out
 
     if n_range_parts is None:
         n_range_parts = int(
@@ -91,11 +108,24 @@ def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
     )
     w_local = Window.partitionBy("host", "_pid").orderBy(*order)
     local = ranged.withColumn("_lr", F.row_number().over(w_local) - 1)
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if with_gate:
+        # local-rank-based adjustment; the global form just subtracts the
+        # partition offset: adj_global = adj_local - _offset * delay
+        adj_local = na - F.col("_lr") * F.col("crawl_delay_s")
+        local = local.withColumn(
+            "_gl",
+            F.max(adj_local).over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        aggs.append(F.max(adj_local).alias("_pm"))
+        aggs.append(F.first("crawl_delay_s").alias("_delay"))
     # offsets: rows of the same host in earlier range partitions all precede
     # this partition's rows; <= n_hosts * n_range_parts rows => broadcast
     offsets = (
         local.groupBy("host", "_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(*aggs)
         .withColumn(
             "_offset",
             F.sum("_cnt").over(
@@ -105,13 +135,35 @@ def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
             ),
         )
         .fillna({"_offset": 0})
-        .select("host", "_pid", "_offset")
     )
-    return (
-        local.join(F.broadcast(offsets), ["host", "_pid"])
+    keep = ["host", "_pid", "_offset"]
+    if with_gate:
+        # prefix max over EARLIER partitions of the globalized per-partition
+        # max: max_{q<p} (pm_q - offset_q * delay)
+        offsets = offsets.withColumn(
+            "_prev_gate",
+            F.max(
+                F.col("_pm") - F.col("_offset") * F.col("_delay")
+            ).over(
+                Window.partitionBy("host")
+                .orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        keep.append("_prev_gate")
+    out = (
+        local.join(F.broadcast(offsets.select(*keep)), ["host", "_pid"])
         .withColumn("host_rank", (F.col("_lr") + F.col("_offset")).cast("int"))
-        .drop("_pid", "_lr", "_offset")
     )
+    if with_gate:
+        out = out.withColumn(
+            "gate",
+            F.greatest(
+                F.col("_gl") - F.col("_offset") * F.col("crawl_delay_s"),
+                F.coalesce(F.col("_prev_gate"), F.lit(float("-inf"))),
+            ),
+        ).drop("_gl", "_prev_gate")
+    return out.drop("_pid", "_lr", "_offset")
 
 
 def assign_fetch_times(
@@ -122,16 +174,31 @@ def assign_fetch_times(
     """fetch_time = next_free(host) + host_rank * crawl_delay (simulated s).
 
     host_state (host, next_free_time double) carries politeness across
-    micro-batches; absent hosts start at t=0."""
-    ranked = host_rank(frontier, mitigate_skew=mitigate_skew)
+    micro-batches; absent hosts start at t=0.
+
+    If the frontier carries `next_attempt_ts` (retry/backoff rows, ST-3),
+    the token bucket honors it: t_i = max(t_{i-1} + delay, next_attempt_i),
+    realized without a sequential scan as max(next_free, gate_i) +
+    rank_i * delay (gate = running max, see host_rank)."""
+    with_gate = "next_attempt_ts" in frontier.columns
+    ranked = host_rank(
+        frontier, mitigate_skew=mitigate_skew, with_gate=with_gate
+    )
     if host_state is not None:
         ranked = ranked.join(F.broadcast(host_state), "host", "left")
         base = F.coalesce(F.col("next_free_time"), F.lit(0.0))
     else:
         base = F.lit(0.0)
-    out = ranked.withColumn(
-        "fetch_time", base + F.col("host_rank") * F.col("crawl_delay_s")
-    )
+    if with_gate:
+        out = ranked.withColumn(
+            "fetch_time",
+            F.greatest(base, F.col("gate"))
+            + F.col("host_rank") * F.col("crawl_delay_s"),
+        ).drop("gate")
+    else:
+        out = ranked.withColumn(
+            "fetch_time", base + F.col("host_rank") * F.col("crawl_delay_s")
+        )
     return out.drop("next_free_time") if host_state is not None else out
 
 

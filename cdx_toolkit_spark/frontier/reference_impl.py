@@ -48,9 +48,13 @@ def run_reference_schedule(
     batch_window: float = 60.0,
     host_next_free=None,
 ):
-    """seeds: iterable of (url, priority, discovered_ts).
+    """seeds: iterable of (url, priority, discovered_ts) or, for retry rows
+    (ST-3), (url, priority, discovered_ts, retries, next_attempt_ts).
     robots: {host: (crawl_delay_s, [disallow_prefixes...])}.
-    seen: iterable of urlkeys already crawled.
+    seen: iterable of urlkeys already crawled. Retry rows (retries > 0)
+    bypass the seen check — their keys entered the seen set when first
+    scheduled — and may not be fetched before next_attempt_ts:
+    t_i = max(t_{i-1} + delay, next_attempt_i).
 
     Returns (trace, seen_set): trace = list of dicts with step, url, urlkey,
     host, fetch_time, batch — in crawl order.
@@ -60,9 +64,12 @@ def run_reference_schedule(
 
     # dedup: first occurrence per urlkey by (priority, discovered_ts, url)
     best = {}
-    for url, priority, disc_ts in seeds:
+    for seed in seeds:
+        url, priority, disc_ts = seed[0], seed[1], seed[2]
+        retries = seed[3] if len(seed) > 3 else 0
+        na = float(seed[4]) if len(seed) > 4 else 0.0
         key = surt(url)
-        if key in seen_set:
+        if retries == 0 and key in seen_set:
             continue
         host = _host_of(url)
         delay, disallow = robots.get(host, (DEFAULT_DELAY, []))
@@ -71,29 +78,29 @@ def run_reference_schedule(
             continue
         cand = (priority, disc_ts, url)
         if key not in best or cand < best[key][:3]:
-            best[key] = (priority, disc_ts, url, host, delay)
+            best[key] = (priority, disc_ts, url, host, delay, na)
 
     # per-host FIFO ordered by (priority, discovered_ts, urlkey)
     queues = defaultdict(list)
-    for key, (priority, disc_ts, url, host, delay) in best.items():
-        queues[host].append((priority, disc_ts, key, url, delay))
+    for key, (priority, disc_ts, url, host, delay, na) in best.items():
+        queues[host].append((priority, disc_ts, key, url, delay, na))
     for host in queues:
         queues[host].sort()
 
     # event loop: heap of host heads keyed by (t, priority, urlkey);
-    # hosts may start late (politeness carryover from a previous epoch)
+    # hosts may start late (politeness carryover from a previous epoch),
+    # and a backoff-gated head delays at most its own host's queue
     host_next_free = host_next_free or {}
     heap = []
     for host, q in queues.items():
-        priority, disc_ts, key, url, delay = q[0]
-        heapq.heappush(
-            heap, (float(host_next_free.get(host, 0.0)), priority, key, host, 0)
-        )
+        priority, disc_ts, key, url, delay, na = q[0]
+        t0 = max(float(host_next_free.get(host, 0.0)), na)
+        heapq.heappush(heap, (t0, priority, key, host, 0))
     trace = []
     step = 0
     while heap:
         t, priority, key, host, idx = heapq.heappop(heap)
-        _, disc_ts, _, url, delay = queues[host][idx]
+        _, disc_ts, _, url, delay, _ = queues[host][idx]
         trace.append(
             {
                 "step": step,
@@ -107,8 +114,8 @@ def run_reference_schedule(
         seen_set.add(key)
         step += 1
         if idx + 1 < len(queues[host]):
-            n_priority, n_disc, n_key, n_url, n_delay = queues[host][idx + 1]
+            n_priority, n_disc, n_key, n_url, n_delay, n_na = queues[host][idx + 1]
             heapq.heappush(
-                heap, (t + delay, n_priority, n_key, host, idx + 1)
+                heap, (max(t + delay, n_na), n_priority, n_key, host, idx + 1)
             )
     return trace, seen_set

@@ -39,9 +39,21 @@ MANIFEST = "epochs.jsonl"
 
 
 def prepare(candidates: DataFrame) -> DataFrame:
-    """Attach frontier keys. candidates: (url, priority, discovered_ts)."""
+    """Attach frontier keys. candidates: (url, priority, discovered_ts
+    [, retries, next_attempt_ts]) — the two ST-3 columns default to 0 so
+    plain discovery batches and retry re-queues share one schema."""
+    out = candidates
+    if "retries" not in out.columns:
+        out = out.withColumn("retries", F.lit(0))
+    if "next_attempt_ts" not in out.columns:
+        out = out.withColumn("next_attempt_ts", F.lit(0.0))
     return (
-        candidates.withColumn("urlkey", surt_col("url"))
+        out.withColumn("retries", F.coalesce(F.col("retries"), F.lit(0)))
+        .withColumn(
+            "next_attempt_ts",
+            F.coalesce(F.col("next_attempt_ts").cast("double"), F.lit(0.0)),
+        )
+        .withColumn("urlkey", surt_col("url"))
         .withColumn("url_hash", url_hash_col("urlkey"))
         .withColumn("host", host_col("url"))
     )
@@ -62,19 +74,30 @@ def dedupe(frontier: DataFrame, store: BloomShardStore,
     Struct comparison is lexicographic by field, so min_by on
     (priority, discovered_ts, url) picks exactly the row the reference
     scheduler picks (reference_impl.py dedup rule).
+
+    Retry rows (retries > 0, ST-3) BYPASS the seen filter by design: their
+    urlkeys entered the seen set when first scheduled, but the fetch failed
+    retryably and must be re-attempted. They still dedupe among themselves;
+    a NEW discovery of a urlkey that is mid-retry is dropped by the exact
+    backstop as usual (it is genuinely already-seen).
     """
-    payload = [c for c in frontier.columns if c != "urlkey"]
-    first = (
-        frontier.groupBy("urlkey")
-        .agg(
-            F.min_by(
-                F.struct(*payload),
-                F.struct("priority", "discovered_ts", "url"),
-            ).alias("_r")
+    def first_per_key(df: DataFrame) -> DataFrame:
+        payload = [c for c in df.columns if c != "urlkey"]
+        return (
+            df.groupBy("urlkey")
+            .agg(
+                F.min_by(
+                    F.struct(*payload),
+                    F.struct("priority", "discovered_ts", "url"),
+                ).alias("_r")
+            )
+            .select("urlkey", "_r.*")
+            .select(*df.columns)
         )
-        .select("urlkey", "_r.*")
-        .select(*frontier.columns)
-    )
+
+    has_retry = "retries" in frontier.columns
+    new_rows = frontier.where(F.col("retries") == 0) if has_retry else frontier
+    first = first_per_key(new_rows)
     flagged = store.probe(first, "url_hash")
     fresh = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
@@ -84,7 +107,11 @@ def dedupe(frontier: DataFrame, store: BloomShardStore,
         )
     else:
         confirmed_new = maybe
-    return fresh.unionByName(confirmed_new)
+    out = fresh.unionByName(confirmed_new)
+    if has_retry:
+        retry_rows = first_per_key(frontier.where(F.col("retries") > 0))
+        out = out.unionByName(retry_rows)
+    return out
 
 
 class FrontierDrain:
@@ -200,8 +227,8 @@ class FrontierDrain:
         )
         out_cols = [
             "url", "urlkey", "url_hash", "host", "priority", "discovered_ts",
-            "crawl_delay_s", "host_rank", "fetch_time", "batch", "epoch",
-            "source_partition",
+            "retries", "next_attempt_ts", "crawl_delay_s", "host_rank",
+            "fetch_time", "batch", "epoch", "source_partition",
         ]
         scheduled = scheduled.select(*out_cols)
         # bucketed + sorted layout: files RANGE-CLUSTERED on (batch, crawl
@@ -327,7 +354,8 @@ class FrontierDrain:
         base = os.path.join(self.workdir, OUT_DIRNAME)
         schema = (
             "url string, urlkey string, url_hash long, host string, "
-            "priority int, discovered_ts long, crawl_delay_s double, "
+            "priority int, discovered_ts long, retries int, "
+            "next_attempt_ts double, crawl_delay_s double, "
             "host_rank int, fetch_time double, batch int, epoch int, "
             "source_partition int"
         )
@@ -367,3 +395,42 @@ class FrontierDrain:
         if df is None:
             return set()
         return {r["urlkey"] for r in df.select("urlkey").distinct().collect()}
+
+
+# reference myrequests.py:110-113 — statuses worth re-queueing
+RETRYABLE_STATUSES = (429, 500, 502, 503, 504, 509)
+
+
+def requeue_failures(
+    scheduled: DataFrame,
+    results: DataFrame,
+    retry_max_sec: float = 60.0,
+) -> DataFrame:
+    """ST-3: turn retryable fetch failures back into frontier candidates.
+
+    `scheduled`: drained epoch rows (schedule_df output). `results`:
+    (url, status int) fetch outcomes. The backoff mirrors the reference's
+    loop (myrequests.py:94-122): the wait starts at 2x the host interval
+    and doubles per attempt, capped at retry_max_sec (60 s) — so a row on
+    its n-th retry becomes attemptable at
+        fetch_time + min(2 * crawl_delay_s * 2^retries, retry_max_sec).
+    Non-retryable failures (e.g. 404) are dropped, like the reference's
+    give-up path. Returns candidate rows (url, priority, discovered_ts,
+    retries, next_attempt_ts) for a later drain_epoch; dedupe() lets them
+    bypass the URL-seen filter.
+    """
+    joined = scheduled.join(
+        F.broadcast(results.select("url", "status")), "url"
+    )
+    retryable = joined.where(F.col("status").isin(*RETRYABLE_STATUSES))
+    backoff = F.least(
+        F.lit(2.0) * F.col("crawl_delay_s") * F.pow(F.lit(2.0), F.col("retries")),
+        F.lit(float(retry_max_sec)),
+    )
+    return retryable.select(
+        "url",
+        "priority",
+        "discovered_ts",
+        (F.col("retries") + 1).alias("retries"),
+        (F.col("fetch_time") + backoff).alias("next_attempt_ts"),
+    )

@@ -90,8 +90,8 @@ def test_golden_trace_parity_with_skew_mitigation(spark, workdir):
 
     orig = pol.host_rank
 
-    def patched(frontier, mitigate_skew=False, n_range_parts=None):
-        return orig(frontier, mitigate_skew, n_range_parts=7)
+    def patched(frontier, mitigate_skew=False, n_range_parts=None, **kw):
+        return orig(frontier, mitigate_skew, n_range_parts=7, **kw)
 
     pol.host_rank = patched
     try:
