@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(s, d)
         ).select("media_id", "kind", "n_bytes"),
+        "media_frame_plan": lambda s, d: multimodal.frame_sample_plan(
+            multimodal.synth_media(s, d), every_s=1.0
+        ).select("media_id", "frame_offset_s"),
         # --- generic relational breadth (events + star schema) ---------------
         "events_daily_counts": lambda s, d: s.read.parquet(f"{d}/events.parquet")
         .groupBy(
@@ -599,6 +602,14 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 'video' END AS kind,"
             "  CAST(strlen(text) AS BIGINT) AS n_bytes "
             "FROM documents"
+        ),
+        "media_frame_plan": (
+            # synth_media: video rows are doc_id%3=2, duration = n_chars/100;
+            # frame offsets 0..greatest(1, floor(duration))-1 at 1s spacing
+            "SELECT doc_id AS media_id, CAST(i - 1 AS DOUBLE) AS frame_offset_s "
+            "FROM documents, unnest(generate_series(1, "
+            "  greatest(1, CAST(floor(n_chars / 100.0) AS BIGINT)))) AS g(i) "
+            "WHERE doc_id % 3 = 2"
         ),
         "events_daily_counts": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,"

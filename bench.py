@@ -85,13 +85,20 @@ def main() -> None:
         "ann_lsh_topk",
         "text_stats",
         "events_daily_counts",
+        "warc_ingest",
+        "pywb_jsonl_decode",
     ]
 
     def force(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    # warm the JVM/Arrow paths once so timings measure the plan, not startup
+    # warm the JVM/Arrow paths once so timings measure the plan, not startup;
+    # pre-build the WARC fixture so warc_ingest times the INGEST, not the
+    # one-time fixture write
     force(qs["iter_window_filter"](spark, SF_DIR))
+    from cdx_toolkit_spark.warc import ensure_warc_fixture
+
+    ensure_warc_fixture(spark, SF_DIR)
 
     times: dict[str, float] = {}
     for name in headline:

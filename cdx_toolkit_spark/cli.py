@@ -1,0 +1,225 @@
+"""`cdxt` CLI shim (SURVEY.md §3.1) — the reference's three commands over
+the Spark engine.
+
+Mirrors /root/reference/cdx_toolkit/cli.py:14-135's argument surface:
+
+  cdxt [--cc|--ia] [--crawl ...] [--from ... --to ...] [--filter ...]
+       [--limit N] [--get --closest TS] [--cc-sort ...]
+       iter URL [--fields a,b,c | --all-fields] [--csv | --jsonl]
+       warc URL [--prefix P] [--subprefix S] [--size BYTES]
+                [--creator C] [--operator O] [--url-fgrep S] [--url-fgrepv S]
+                [--warc-download-prefix DIR]
+       size URL [--details]
+
+Spark-specific inputs replace the HTTP endpoints: `--sf-dir` points at the
+capture source (the parquet testdata the derived CDX view reads), and the
+`warc` command's `--warc-download-prefix` points at a DIRECTORY of
+.warc.gz segments (the fixture, or any collection written by
+warc.write_warc_segments) instead of an HTTP range server — the byte-range
+fetch shape is identical (warc.fetch_warc_records). `--source`, `--wb` and
+`--cc-mirror` are accepted for surface parity and ignored with a warning:
+there is no HTTP client in this engine by design.
+
+Everything heavier than printing stays a Spark plan; printing streams via
+toLocalIterator so the driver never holds the full result.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from argparse import ArgumentParser
+
+
+def make_parser() -> ArgumentParser:
+    parser = ArgumentParser(
+        prog="cdxt", description="cdx_toolkit_spark command line tool"
+    )
+    parser.add_argument("--version", "-V", action="version", version="2.0-spark")
+    parser.add_argument("--verbose", "-v", action="count")
+    parser.add_argument("--cc", action="store_const", const="cc")
+    parser.add_argument("--crawl", action="store",
+                        help="crawl names (comma separated) or an integer "
+                             "for the most recent N crawls. Implies --cc")
+    parser.add_argument("--ia", action="store_const", const="ia")
+    parser.add_argument("--source", action="store")
+    parser.add_argument("--wb", action="store")
+    parser.add_argument("--limit", type=int, action="store")
+    parser.add_argument("--cc-mirror", action="store")
+    parser.add_argument("--cc-sort", action="store", default="mixed")
+    parser.add_argument("--from", action="store", dest="from_ts")
+    parser.add_argument("--to", action="store")
+    parser.add_argument("--filter", action="append")
+    parser.add_argument("--get", action="store_true")
+    parser.add_argument("--closest", action="store")
+    parser.add_argument("--sf-dir", action="store",
+                        default=os.environ.get(
+                            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+                        help="capture source directory (parquet tables)")
+
+    sub = parser.add_subparsers(dest="cmd")
+    sub.required = True
+
+    it = sub.add_parser("iter", help="iterate printing captures")
+    it.add_argument("--all-fields", action="store_true")
+    it.add_argument("--fields", action="store", default="url,status,timestamp")
+    it.add_argument("--jsonl", action="store_true")
+    it.add_argument("--csv", action="store_true")
+    it.add_argument("url")
+    it.set_defaults(func=iterator)
+
+    wa = sub.add_parser("warc", help="extract capture content into new WARCs")
+    wa.add_argument("--prefix", default="TEST")
+    wa.add_argument("--subprefix", type=str, default=None)
+    wa.add_argument("--size", type=int, default=10**9)
+    wa.add_argument("--creator", action="store")
+    wa.add_argument("--operator", action="store")
+    wa.add_argument("--url-fgrep", action="store")
+    wa.add_argument("--url-fgrepv", action="store")
+    wa.add_argument("--warc-download-prefix", action="store",
+                    help="directory holding the source .warc.gz segments")
+    wa.add_argument("--out-dir", action="store", default=".",
+                    help="directory to write the extracted segments into")
+    wa.add_argument("url")
+    wa.set_defaults(func=warcer)
+
+    sz = sub.add_parser("size", help="count how many results are available")
+    sz.add_argument("--details", action="store_true")
+    sz.add_argument("url")
+    sz.set_defaults(func=sizer)
+    return parser
+
+
+def main(args=None, spark=None):
+    cmd = make_parser().parse_args(args=args)
+    for flag in ("source", "wb", "cc_mirror"):
+        if getattr(cmd, flag, None):
+            print(f"warning: --{flag.replace('_', '-')} is accepted for "
+                  "surface parity but ignored (no HTTP client)",
+                  file=sys.stderr)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("cdxt")
+    return cmd.func(cmd, spark)
+
+
+def _query(cmd, spark):
+    from .cdx_view import cdx_captures
+    from .query import CdxQuery
+
+    dialect = "ia" if cmd.ia else "cc"
+    return CdxQuery(cdx_captures(spark, cmd.sf_dir), dialect=dialect)
+
+
+def _build_iter(cmd, spark):
+    q = _query(cmd, spark)
+    kw = dict(
+        from_ts=cmd.from_ts,
+        to=cmd.to,
+        filter=cmd.filter,
+        crawl=cmd.crawl.split(",") if cmd.crawl else None,
+        cc_sort=cmd.cc_sort,
+    )
+    if cmd.get or cmd.closest:
+        return q.get(cmd.url, closest=cmd.closest, limit=cmd.limit, **kw)
+    return q.iter(cmd.url, limit=cmd.limit, **kw)
+
+
+def iterator(cmd, spark) -> int:
+    from . import render
+
+    df = _build_iter(cmd, spark)
+    if not cmd.all_fields:
+        df = render.winnow_fields(df, cmd.fields.split(","))
+    if cmd.csv:
+        import csv as _csv
+
+        w = _csv.writer(sys.stdout)
+        w.writerow(df.columns)
+        for row in df.toLocalIterator():
+            w.writerow([row[c] for c in df.columns])
+    elif cmd.jsonl:
+        for row in df.select(render.jsonl_col(df)).toLocalIterator():
+            print(row["line"])
+    else:
+        for row in df.select(render.kv_lines_col(df)).toLocalIterator():
+            print(row["line"])
+    return 0
+
+
+def warcer(cmd, spark) -> int:
+    """cdxt warc: select captures, range-fetch their records from the source
+    segments, write size-targeted extracted WARCs (reference cli.py:235-276:
+    filter -> fetch_warc_record -> writer with warcinfo)."""
+    from pyspark.sql import functions as F
+
+    from . import warc as warcmod
+
+    if not cmd.warc_download_prefix:
+        raise ValueError("warc requires --warc-download-prefix "
+                         "(directory of source .warc.gz segments)")
+    from .query import url_match_predicate
+
+    # index the source collection, select by url match + fgrep filters on
+    # the SURT key — the same predicates iter uses
+    from .surt import surt_col
+
+    idx = warcmod.read_warc(
+        spark, os.path.join(cmd.warc_download_prefix, "*.warc.gz")
+    ).where(F.col("warc_type").isin("response", "revisit"))
+    idx = idx.withColumn("urlkey", surt_col("target_uri")).withColumn(
+        "url", F.col("target_uri")
+    )
+    idx = idx.where(url_match_predicate(cmd.url))
+    if cmd.url_fgrep:
+        idx = idx.where(F.col("url").contains(cmd.url_fgrep))
+    if cmd.url_fgrepv:
+        idx = idx.where(~F.col("url").contains(cmd.url_fgrepv))
+    if cmd.limit:
+        idx = idx.limit(cmd.limit)
+
+    fetched = warcmod.fetch_warc_records(
+        spark,
+        idx.select(
+            "filename",
+            F.col("member_offset").alias("offset"),
+            F.col("member_length").alias("length"),
+        ),
+    )
+    info = {"software": "cdx_toolkit_spark cli"}
+    if cmd.creator:
+        info["creator"] = cmd.creator
+    if cmd.operator:
+        info["operator"] = cmd.operator
+    manifest = warcmod.write_warc_segments(
+        fetched, cmd.out_dir, prefix=cmd.prefix, subprefix=cmd.subprefix,
+        target_bytes=cmd.size, info=info,
+    ).collect()
+    for m in manifest:
+        print(f"{m['segment']}  records={m['n_records']}  bytes={m['n_bytes']}")
+    return 0
+
+
+def sizer(cmd, spark) -> int:
+    from pyspark.sql import functions as F
+
+    q = _query(cmd, spark)
+    kw = dict(
+        from_ts=cmd.from_ts, to=cmd.to, filter=cmd.filter,
+        crawl=cmd.crawl.split(",") if cmd.crawl else None,
+    )
+    if cmd.details:
+        df = q.build(cmd.url, **kw).groupBy("crawl").agg(
+            F.count(F.lit(1)).alias("n_captures")
+        ).orderBy("crawl")
+        for row in df.toLocalIterator():
+            print(f"{row['crawl']}: {row['n_captures']}")
+        return 0
+    n = q.size_estimate(cmd.url, **kw).first()["n_captures"]
+    print(n)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -25,11 +25,11 @@ DEFAULT_DELAY = 3.0
 def _host_of(url: str) -> str:
     import re
 
-    u = url.strip().lower()
+    u = url.strip(" \t\n\r\x0b\x0c").lower()
     u = re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)
     u = re.sub(r"^//", "", u)
     authority = re.match(r"^([^/?#]*)", u).group(1)
-    host = re.sub(r"^.*@", "", authority)
+    host = authority.rsplit("@", 1)[-1]  # userinfo to the LAST '@'
     host = re.sub(r":\d+$", "", host)
     return re.sub(r"^www\d*\.", "", host)
 

@@ -209,6 +209,12 @@ class FrontierDrain:
             [], "host string, crawl_delay_s double, disallow_prefixes array<string>"
         )
 
+        # retry rows only ever arrive via requeue_failures, which carries the
+        # ST-3 columns — their presence on the INPUT decides whether the
+        # scheduler pays the backoff-gate running max. Plain discovery
+        # batches keep the cheaper rank-only plan.
+        has_backoff = "next_attempt_ts" in candidates.columns
+
         frontier = prepare(candidates)
         # persist: the deduped frontier feeds the two-phase rank (local ranks
         # + offsets), the batch write, and the seen-store update — without
@@ -216,9 +222,12 @@ class FrontierDrain:
         fresh = dedupe(frontier, self.store, self._seen_exact()).persist()
         polite = politeness.attach_robots(fresh, robots)
         scheduled = politeness.assign_fetch_times(
-            polite, self._host_state(epoch - 1),
+            polite if has_backoff else polite.drop("next_attempt_ts"),
+            self._host_state(epoch - 1),
             mitigate_skew=self.mitigate_skew,
         )
+        if not has_backoff:
+            scheduled = scheduled.withColumn("next_attempt_ts", F.lit(0.0))
         scheduled = scheduled.withColumn(
             "batch",
             F.floor(F.col("fetch_time") / F.lit(self.batch_window)).cast("int"),

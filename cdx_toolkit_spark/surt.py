@@ -33,9 +33,12 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^[a-z][a-z0-9+.-]*://"
 
 
+_TRIM_CHARS = " \t\n\r\x0b\x0c"  # the shared trim set of all four kernels
+
+
 def surt(url: str) -> str:
     """Scalar Python SURT (driver-side; mirrors surt_col exactly)."""
-    u = url.strip().lower()
+    u = url.strip(_TRIM_CHARS).lower()
     hash_pos = u.find("#")
     if hash_pos != -1:
         u = u[:hash_pos]
@@ -76,32 +79,47 @@ def surt(url: str) -> str:
     return key
 
 
+# ONE anchored pattern decomposing any string into (userinfo, host, :port,
+# path, query) — groups 1..5. Design notes for exact `surt` parity:
+#   - scheme strips only when followed by '//' (or a bare '//' prefix)
+#   - userinfo is GREEDY [^/?#]*@ => strips to the LAST '@' in the authority
+#   - host is lazy with a (?=[/?#]|$) boundary lookahead, so ':<digits>' at
+#     the authority end is a port but ':abc' stays part of the host
+#   - (?s) because the fragment tail must swallow newlines
+# The pattern cannot fail to match (every piece is optional), so
+# regexp_extract returns '' for absent parts instead of erroring.
+_URL_PARTS_RE = (
+    r"(?s)^(?:[a-z][a-z0-9+.-]*://|//)?(?:([^/?#]*)@)?([^/?#]*?)(:\d+)?"
+    r"(?=[/?#]|$)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+)
+
+
 def surt_col(url) -> Column:
     """SURT as a pure built-in Column expression (JVM-side, codegen-friendly).
 
     Equivalent to ``surt`` above for every well-formed http(s) URL; verified
     by property tests comparing the two on fixture + fuzzed URLs.
+
+    Hot-path shape (10^10 URLs at ingest): ONE shared anchored pattern with
+    group extracts instead of a chain of regexp_replace passes — the r1
+    profile showed the old 6+ replace pipeline memory-bandwidth-bound on the
+    intermediate strings (BENCH.md); this form does no intermediate string
+    rewrites at all (plus one small `www.` replace on the host only).
     """
     if isinstance(url, str):
         url = F.col(url)
-    u = F.lower(F.trim(url))
-    u = F.regexp_replace(u, r"#.*$", "")          # fragment
-    u = F.regexp_replace(u, _SCHEME_RE, "")        # scheme
-    u = F.regexp_replace(u, r"^//", "")            # authority marker
-    authority = F.regexp_extract(u, r"^([^/?]*)", 1)
-    rest = F.substring(u, F.length(authority) + F.lit(1), F.lit(2147483647))
-    hostport = F.regexp_replace(authority, r"^.*@", "")
-    host = F.regexp_replace(hostport, r":\d+$", "")
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
-    port = F.when(port.isin("80", "443", ""), F.lit("")).otherwise(
-        F.concat(F.lit(":"), port)
-    )
+    # btrim with the explicit whitespace set: F.trim strips SPACES ONLY,
+    # while the scalar spec (Python .strip) strips tabs/newlines too
+    u = F.lower(F.btrim(url, F.lit(_TRIM_CHARS)))
+    host = F.regexp_extract(u, _URL_PARTS_RE, 2)
+    port = F.regexp_extract(u, _URL_PARTS_RE, 3)  # ':<digits>' or ''
+    path = F.regexp_extract(u, _URL_PARTS_RE, 4)
+    query = F.regexp_extract(u, _URL_PARTS_RE, 5)
+
+    port = F.when(port.isin(":80", ":443"), F.lit("")).otherwise(port)
     host = F.regexp_replace(host, r"^www\d*\.", "")
     revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-
-    path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(rest, r"\?(.*)$", 1)
     qsorted = F.array_join(
         F.array_sort(F.filter(F.split(query, "&"), lambda x: x != F.lit(""))),
         "&",
@@ -123,12 +141,8 @@ def host_col(url) -> Column:
     """
     if isinstance(url, str):
         url = F.col(url)
-    u = F.lower(F.trim(url))
-    u = F.regexp_replace(u, _SCHEME_RE, "")
-    u = F.regexp_replace(u, r"^//", "")
-    authority = F.regexp_extract(u, r"^([^/?#]*)", 1)
-    hostport = F.regexp_replace(authority, r"^.*@", "")
-    host = F.regexp_replace(hostport, r":\d+$", "")
+    u = F.lower(F.btrim(url, F.lit(_TRIM_CHARS)))
+    host = F.regexp_extract(u, _URL_PARTS_RE, 2)
     return F.regexp_replace(host, r"^www\d*\.", "").alias("host")
 
 
