@@ -28,7 +28,7 @@ from pyspark.sql import Window
 
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
-from cdx_toolkit_spark import dedup, similarity, textkit, multimodal
+from cdx_toolkit_spark import dedup, render, similarity, textkit, multimodal
 from cdx_toolkit_spark import ingest
 from cdx_toolkit_spark import warc as warcmod
 
@@ -144,6 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields_projection": lambda s, d: _q(s, d).iter(
             "example0.com/*", from_ts="2015", to="2018", limit=25,
             cc_sort="mixed", fields=["url", "status", "timestamp"],
+        ),
+        # S-10: kv-lines render as a Column plan (the default `cdxt iter`
+        # output), over a deterministic windowed projection
+        "kv_render": lambda s, d: (
+            lambda df: df.select(render.kv_lines_col(df))
+        )(
+            _q(s, d).iter(
+                "example0.com/*", from_ts="2015", to="2018", limit=25,
+                cc_sort="ascending", fields=["url", "status", "timestamp"],
+            )
         ),
         "url_fgrep": lambda s, d: _q(s, d)
         .build("example0.com/*", from_ts="2015", to="2018")
@@ -504,6 +514,14 @@ def oracle_sql() -> dict[str, str]:
             f"  SELECT * FROM cdx WHERE {p0} "
             "  AND timestamp >= '20150101000000' AND timestamp <= '20181231235959' "
             f"  {iter_order} LIMIT 25"
+            ") t"
+        ),
+        "kv_render": _wrap(
+            "SELECT 'url: ' || url || '  status: ' || status || "
+            "'  timestamp: ' || timestamp AS line FROM ("
+            f"  SELECT * FROM cdx WHERE {p0} "
+            "  AND timestamp >= '20150101000000' AND timestamp <= '20181231235959' "
+            f"  {asc_order} LIMIT 25"
             ") t"
         ),
         "url_fgrep": _wrap(
