@@ -60,7 +60,8 @@ def prepare(candidates: DataFrame) -> DataFrame:
 
 
 def dedupe(frontier: DataFrame, store: BloomShardStore,
-           seen_exact: DataFrame | None) -> DataFrame:
+           seen_exact: DataFrame | None, split_retries: bool = True,
+           caches: list | None = None) -> DataFrame:
     """Drop already-seen urlkeys and intra-epoch duplicates.
 
     Bloom-negatives are definitely-new (skip the join); bloom-positives get
@@ -95,10 +96,21 @@ def dedupe(frontier: DataFrame, store: BloomShardStore,
             .select(*df.columns)
         )
 
-    has_retry = "retries" in frontier.columns
+    has_retry = split_retries and "retries" in frontier.columns
+    if has_retry:
+        # splitting re-scans `frontier` lineage per branch — cache the keyed
+        # frontier once so SURT/hash/host run once, not per branch
+        frontier = frontier.persist()
+        if caches is not None:
+            caches.append(frontier)
     new_rows = frontier.where(F.col("retries") == 0) if has_retry else frontier
     first = first_per_key(new_rows)
-    flagged = store.probe(first, "url_hash")
+    # probe output feeds TWO branches (bloom-negative passthrough + exact
+    # backstop on positives); without a cache each branch re-executes the
+    # whole SURT -> min_by -> cogrouped-probe chain
+    flagged = store.probe(first, "url_hash").persist()
+    if caches is not None:
+        caches.append(flagged)
     fresh = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
     if seen_exact is not None:
@@ -219,7 +231,11 @@ class FrontierDrain:
         # persist: the deduped frontier feeds the two-phase rank (local ranks
         # + offsets), the batch write, and the seen-store update — without
         # this the SURT UDF + dedupe window recompute once per branch
-        fresh = dedupe(frontier, self.store, self._seen_exact()).persist()
+        caches: list = []
+        fresh = dedupe(
+            frontier, self.store, self._seen_exact(),
+            split_retries=has_backoff, caches=caches,
+        ).persist()
         polite = politeness.attach_robots(fresh, robots)
         scheduled = politeness.assign_fetch_times(
             polite if has_backoff else polite.drop("next_attempt_ts"),
@@ -262,6 +278,8 @@ class FrontierDrain:
         written = self._read_epoch(out_path, scheduled.schema)
         n_scheduled = written.count()
         fresh.unpersist()
+        for c in caches:
+            c.unpersist()
 
         # phase-1 commit: the schedule output is durable; record everything
         # phase 2 needs (incl. the bloom version BEFORE bookkeeping, so a
