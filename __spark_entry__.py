@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(
             _emb(s, d), threshold=0.42,
         ).select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine")),
+        # the 10^9-vector scale path: exact cosine only within LSH buckets
+        "dedup_cosine_bucketed": lambda s, d: dedup.lsh_bucketed_cosine_pairs(
+            _emb(s, d), threshold=0.40, n_planes=6, seeds=(42, 43),
+        ).select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine")),
         # --- text analysis --------------------------------------------------
         "text_stats": lambda s, d: _docs(s, d).select(
             "doc_id",
@@ -411,6 +415,43 @@ def _ann_lsh_oracle(k: int = 5, n_planes: int = 10, seed: int = 42,
     )
 
 
+def _bucketed_cosine_oracle(threshold: float = 0.40, n_planes: int = 6,
+                            seeds: tuple[int, ...] = (42, 43),
+                            dim: int = 64) -> str:
+    """DuckDB twin of dedup.lsh_bucketed_cosine_pairs: per-seed hyperplane
+    buckets as literal-coefficient sign sums; a pair qualifies when it shares
+    a bucket under ANY seed and cosine >= threshold."""
+    from cdx_toolkit_spark.similarity import _hyperplanes
+
+    def bucket_expr(side: str, seed: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed)
+        terms = []
+        for j in range(n_planes):
+            dot = " + ".join(
+                f"{side}.v[{i + 1}]*{planes[i, j]!r}" for i in range(dim)
+            )
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    share = " OR ".join(
+        f"({bucket_expr('a', s)}) = ({bucket_expr('b', s)})" for s in seeds
+    )
+    return (
+        "WITH e AS (SELECT vec_id,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "  FROM embeddings),\n"
+        "n AS (SELECT vec_id, v,"
+        "  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)\n"
+        "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,\n"
+        "  round(list_sum(list_transform(generate_series(1, len(a.v)),"
+        "    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine\n"
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id\n"
+        "WHERE list_sum(list_transform(generate_series(1, len(a.v)),"
+        f"  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= {threshold}\n"
+        f"  AND ({share})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     iter_order = 'ORDER BY crawl DESC, urlkey, "timestamp", doc_id'
     asc_order = 'ORDER BY urlkey, "timestamp", doc_id'
@@ -564,6 +605,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM n a JOIN n b ON a.vec_id < b.vec_id\n"
             "WHERE list_sum(list_transform(generate_series(1, len(a.v)),"
             "  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.42"
+        ),
+        "dedup_cosine_bucketed": _bucketed_cosine_oracle(
+            threshold=0.40, n_planes=6, seeds=(42, 43), dim=64
         ),
         "text_quality": (
             "WITH t AS (SELECT doc_id,"

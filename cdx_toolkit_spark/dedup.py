@@ -503,6 +503,10 @@ def lsh_bucketed_cosine_pairs(
     out = stamped.groupBy("bucket").applyInPandas(
         pairs_in_bucket, "doc_a long, doc_b long, cosine double"
     )
-    # multi-seed tables can rediscover the same pair; cosine is the same
-    # deterministic float64 computation, so distinct() on all three is exact
-    return out.distinct() if len(seeds) > 1 else out
+    # multi-seed tables rediscover the same pair with cosines that can differ
+    # in the last ulp (BLAS summation order depends on the bucket's GEMM
+    # shape) — distinct() on the float would keep both, so dedupe on the pair
+    # key and keep the max (map-side combinable, unlike distinct-on-float)
+    if len(seeds) > 1:
+        out = out.groupBy("doc_a", "doc_b").agg(F.max("cosine").alias("cosine"))
+    return out
