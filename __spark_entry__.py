@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- WARC path (S-7 ingest, F-11 gzip split, F-12 header parse) -------
         "warc_ingest": lambda s, d: _warc_ingest(s, d),
+        # --- S-8: wayback replay reconstruction --------------------------------
+        "wb_reconstruct": lambda s, d: _wb_reconstruct(s, d),
         # --- wire-format decode (S-4 pywb JSONL, S-5 IA list-of-lists) --------
         "pywb_jsonl_decode": lambda s, d: ingest.decode_pywb_jsonl(
             ingest.encode_pywb_jsonl(cdx_captures(s, d))
@@ -306,6 +308,102 @@ def _warc_ingest_oracle() -> str:
         "ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_payload_bytes,\n"
         f"  CASE WHEN {rev} THEN '' ELSE text END AS text,\n"
         "  TRUE AS digest_ok\n"
+        "FROM documents"
+    )
+
+
+def _wb_reconstruct(s: SparkSession, d: str) -> DataFrame:
+    """S-8 wayback replay reconstruction (reference fake_wb_warc,
+    warc.py:34-97): a synthetic wayback playback (302-vivified redirects,
+    x-archive-orig-* wrapped headers, wayback Location) is derived from
+    `documents`, then the render kernels reconstruct the ORIGINAL response:
+    status restored, originals unwrapped, wayback headers marked
+    X-Archive-*, Location rewritten (F-9), WARC-Date from the archived
+    http Date."""
+    from cdx_toolkit_spark.cdx_view import _MIME, _REDIRECT, _STATUS, _TS, _URL
+    from cdx_toolkit_spark.render import (
+        http_date_to_iso_col,
+        wb_response_headers_col,
+        wb_status_line_col,
+    )
+
+    http_date = (
+        f"(date_format(make_date(CAST(substring({_TS},1,4) AS INT), "
+        f"CAST(substring({_TS},5,2) AS INT), CAST(substring({_TS},7,2) AS INT)), "
+        "'EEE, dd MMM yyyy') || ' ' || "
+        f"substring({_TS},9,2) || ':' || substring({_TS},11,2) || ':' || "
+        f"substring({_TS},13,2) || ' GMT')"
+    )
+    playback = _docs(s, d).selectExpr(
+        "doc_id",
+        f"{_URL} AS url",
+        f"('https://web.archive.org/web/' || {_TS} || 'id_/' || {_URL}) AS wb_url",
+        f"CASE WHEN {_STATUS} = '301' THEN 302 "
+        f"WHEN {_STATUS} = '404' THEN 404 ELSE 200 END AS status_code",
+        f"CASE WHEN {_STATUS} = '301' THEN 'Found' "
+        f"WHEN {_STATUS} = '404' THEN 'Not Found' ELSE 'OK' END AS reason",
+        f"{_STATUS} AS capture_status",
+        "concat("
+        f"  array(named_struct('k', 'Content-Type', 'v', {_MIME}),"
+        f"        named_struct('k', 'X-Archive-Orig-Date', 'v', {http_date}),"
+        "        named_struct('k', 'Server', 'v', 'nginx/1.21')),"
+        f"  CASE WHEN {_REDIRECT} IS NOT NULL THEN "
+        "    array(named_struct('k', 'Location', 'v',"
+        f"      'https://web.archive.org/web/' || {_TS} || 'id_/' || {_REDIRECT}))"
+        "  ELSE array() END"
+        ") AS headers",
+    )
+    hdrs = wb_response_headers_col("headers")
+    orig_date = F.element_at(
+        F.filter(
+            F.col("headers"),
+            lambda h: F.lower(h["k"]).startswith("x-archive-orig-date"),
+        ),
+        1,
+    )["v"]
+    return playback.select(
+        "doc_id",
+        "url",
+        F.col("wb_url").alias("warc_source_uri"),
+        wb_status_line_col("status_code", "reason", "capture_status").alias(
+            "status_line"
+        ),
+        http_date_to_iso_col(orig_date).alias("warc_date"),
+        F.array_join(
+            F.transform(hdrs, lambda h: F.concat(h["k"], F.lit(": "), h["v"])),
+            " | ",
+        ).alias("headers_str"),
+    )
+
+
+def _wb_reconstruct_oracle() -> str:
+    from cdx_toolkit_spark.cdx_view import _MIME, _REDIRECT, _STATUS, _TS, _URL
+
+    iso = (
+        f"(substring({_TS},1,4) || '-' || substring({_TS},5,2) || '-' || "
+        f"substring({_TS},7,2) || 'T' || substring({_TS},9,2) || ':' || "
+        f"substring({_TS},11,2) || ':' || substring({_TS},13,2) || 'Z')"
+    )
+    http_date = (
+        f"(strftime(make_date(CAST(substring({_TS},1,4) AS INT), "
+        f"CAST(substring({_TS},5,2) AS INT), CAST(substring({_TS},7,2) AS INT)), "
+        "'%a, %d %b %Y') || ' ' || "
+        f"substring({_TS},9,2) || ':' || substring({_TS},11,2) || ':' || "
+        f"substring({_TS},13,2) || ' GMT')"
+    )
+    return (
+        "SELECT doc_id,\n"
+        f"  {_URL} AS url,\n"
+        f"  ('https://web.archive.org/web/' || {_TS} || 'id_/' || {_URL})"
+        " AS warc_source_uri,\n"
+        f"  CASE WHEN {_STATUS} = '301' THEN '301 Moved Permanently' "
+        f"WHEN {_STATUS} = '404' THEN '404 Not Found' "
+        "ELSE '200 OK' END AS status_line,\n"
+        f"  {iso} AS warc_date,\n"
+        f"  ('Content-Type: ' || {_MIME} || ' | Date: ' || {http_date} || "
+        "' | X-Archive-Server: nginx/1.21' || "
+        f"CASE WHEN {_REDIRECT} IS NOT NULL "
+        f"THEN ' | Location: ' || {_REDIRECT} ELSE '' END) AS headers_str\n"
         "FROM documents"
     )
 
@@ -687,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
             ") t WHERE rk <= 3"
         ),
         "warc_ingest": _warc_ingest_oracle(),
+        "wb_reconstruct": _wb_reconstruct_oracle(),
         # decoders: wire text round-trips the derived view, so the oracle is
         # the view itself (crawl re-derived from the filename path on the
         # Spark side — equal to the view's crawl by construction)
