@@ -277,3 +277,42 @@ def test_comma_list_crawl_spec(spark, sf_dir):
     assert comma.count() == split.count() > 0
     with pytest.raises(ValueError, match="integer"):
         q.iter("example0.com/*", crawl=["2,CC-MAIN-2017-26"])
+
+
+# ---------------------------------------------------------------------------
+# SURT scalar/Column parity on adversarial inputs (trim set, userinfo across
+# newlines, ':' non-port suffixes, fragments before schemes, empty hosts)
+# ---------------------------------------------------------------------------
+
+def test_surt_col_adversarial_parity(spark):
+    import random
+    import string
+
+    from cdx_toolkit_spark.surt import host_col, surt, surt_col
+    from cdx_toolkit_spark.frontier.reference_impl import _host_of
+
+    rng = random.Random(99)
+    alphabet = string.ascii_lowercase + string.digits + ":/?#@&.=%_-~ \n\t" + "äπ"
+    urls = []
+    for i in range(400):
+        n = rng.randint(0, 40)
+        u = "".join(rng.choice(alphabet) for _ in range(n))
+        if i % 3 == 0:
+            u = rng.choice(["http://", "https://", "//", "ftp://", ""]) + u
+        urls.append(u)
+    urls += [
+        "http://a:80@b.com:8080/p?b=2&a=1#frag", "http://WWW9.Ex.com:443/",
+        "//u@v@host:81/x?y", "http://host:abc/p", "a?b#c", "http://", "",
+        "   ", "http://x.com/p?&&a", "ht#tp://x", "a#http://b",
+        "http://x.com?", "http://x.com#", "http://x.com/p?q=1?r=2",
+        "http://x@/p", "\thttp://tab.com/\n", "http://l\nb@u-.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(surt_col("url")).collect()]
+    want = [surt(u) for u in urls]
+    bad = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert not bad, bad[:5]
+    goth = [r[0] for r in df.select(host_col("url")).collect()]
+    wanth = [_host_of(u) for u in urls]
+    badh = [(u, g, w) for u, g, w in zip(urls, goth, wanth) if g != w]
+    assert not badh, badh[:5]
