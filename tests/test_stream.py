@@ -80,3 +80,61 @@ def test_stream_drain_and_checkpoint_resume(spark, dirs):
     epochs3 = drain.epochs()
     assert sum(e["n_scheduled"] for e in epochs3[len(epochs2):]) == 0
     assert drain.seen_set() == seen2
+
+
+def _sched_rows(spark, rows):
+    # minimal schedule-shaped rows: (host, fetch_time, retries)
+    from cdx_toolkit_spark.frontier.metrics import SCHEDULE_SCHEMA
+
+    full = [
+        (f"http://{h}/x", f"{h})/x", 0, h, 0, 0, r, 0.0, 1.0, 0, t, int(t // 60), 1, 0)
+        for h, t, r in rows
+    ]
+    return spark.createDataFrame(full, SCHEDULE_SCHEMA)
+
+
+def test_watermarked_rate_metrics(spark, tmp_path):
+    """ST-6-class: windows close exactly once when the watermark passes;
+    late rows merge while open and are dropped after close."""
+    import time
+
+    from cdx_toolkit_spark.frontier.metrics import run_rate_metrics
+
+    sched = str(tmp_path / "schedule")
+    os.makedirs(sched)
+    # batch 1: host a in [0,60) x2 and [60,120) x1; max event time 300 ->
+    # watermark becomes 300-120=180 for the NEXT batch
+    _sched_rows(spark, [("a.com", 5.0, 0), ("a.com", 30.0, 1),
+                        ("a.com", 70.0, 0), ("b.com", 300.0, 0)]) \
+        .coalesce(1).write.parquet(os.path.join(sched, "ep_1"))
+    time.sleep(1.1)  # file source orders by modification time
+    # batch 2: advances the watermark to 380; windows ending <= 180 are
+    # EMITTED + EVICTED during this batch
+    _sched_rows(spark, [("b.com", 500.0, 0)]) \
+        .coalesce(1).write.parquet(os.path.join(sched, "ep_2"))
+    time.sleep(1.1)
+    # batch 3: a LATE row at t=10 — its window's state is gone, so it is
+    # dropped (Spark only guarantees the drop AFTER eviction; a late row
+    # landing in the same batch as the close would still merge)
+    _sched_rows(spark, [("a.com", 10.0, 0), ("b.com", 700.0, 0)]) \
+        .coalesce(1).write.parquet(os.path.join(sched, "ep_3"))
+
+    q = run_rate_metrics(
+        spark, sched + "/ep_*", str(tmp_path / "ckpt"),
+        sink_table="rate_test", window_s=60.0, watermark_s=120.0,
+    )
+    q.awaitTermination()
+    out = {
+        (r["window_start"].strftime("%H:%M:%S"), r["host"]):
+            (r["n_fetches"], r["retried"])
+        for r in spark.sql("SELECT * FROM rate_test").collect()
+    }
+    # [0,60)xa.com closed with exactly the 2 on-time rows, emitted ONCE —
+    # the late t=10 row in batch 3 was dropped, not re-emitted
+    assert out[("00:00:00", "a.com")] == (2, 1)
+    assert out[("00:01:00", "a.com")] == (1, 0)
+    # b.com t=300 window [300,360) closes when the watermark reaches 380
+    assert out[("00:05:00", "b.com")] == (1, 0)
+    # t=700's window is still open at stream end -> not emitted
+    assert ("00:11:00", "b.com") not in out
+    assert len(out) == 4  # exactly-once per closed (host, window)
