@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- WARC path (S-7 ingest, F-11 gzip split, F-12 header parse) -------
         "warc_ingest": lambda s, d: _warc_ingest(s, d),
+        # --- robots.txt -> politeness rules (J-2 upstream) ---------------------
+        "robots_parse": lambda s, d: _robots_parse(s, d),
         # --- S-8: wayback replay reconstruction --------------------------------
         "wb_reconstruct": lambda s, d: _wb_reconstruct(s, d),
         # --- wire-format decode (S-4 pywb JSONL, S-5 IA list-of-lists) --------
@@ -309,6 +311,57 @@ def _warc_ingest_oracle() -> str:
         f"  CASE WHEN {rev} THEN '' ELSE text END AS text,\n"
         "  TRUE AS digest_ok\n"
         "FROM documents"
+    )
+
+
+def _robots_parse(s: SparkSession, d: str) -> DataFrame:
+    """J-2 upstream: derive the politeness rules table from robots.txt
+    BODIES (north_star: "token-bucket crawl-delay from robots.txt"). The
+    synthetic bodies exercise: non-* groups that must not leak, comments,
+    empty Disallow lines, hosts without a `User-agent: *` group (defaults),
+    and per-host Crawl-delay values."""
+    from cdx_toolkit_spark.cdx_view import _HOST_ID
+    from cdx_toolkit_spark.frontier.robots import parse_robots
+
+    hosts = _docs(s, d).selectExpr(f"{_HOST_ID} AS hid").distinct()
+    hid = F.col("hid")
+    delay_str = F.element_at(
+        F.array(F.lit("0.55"), F.lit("1"), F.lit("3"), F.lit("6")),
+        (hid % 4 + 1).cast("int"),
+    )
+    star_group = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "), delay_str,
+        F.lit("\nDisallow: /private/"), hid.cast("string"),
+        F.lit("\n# crawler notes\nDisallow: /tmp\nDisallow:\n"),
+    )
+    bodies = hosts.select(
+        hid,
+        F.concat(F.lit("example"), hid.cast("string"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: fancybot\nDisallow: /secret\nCrawl-delay: 9\n\n"),
+            F.when(hid % 5 == 0, F.lit("")).otherwise(star_group),
+        ).alias("body"),
+    )
+    rules = parse_robots(bodies.select("host", "body"))
+    return rules.select(
+        "host",
+        "crawl_delay_s",
+        F.array_join("disallow_prefixes", ",").alias("disallow_csv"),
+    )
+
+
+def _robots_parse_oracle() -> str:
+    from cdx_toolkit_spark.cdx_view import _HOST_ID
+
+    return (
+        f"WITH h AS (SELECT DISTINCT {_HOST_ID} AS hid FROM documents)\n"
+        "SELECT 'example' || CAST(hid AS VARCHAR) || '.com' AS host,\n"
+        "  CAST(CASE WHEN hid % 5 = 0 THEN 3.0 ELSE "
+        "(CASE hid % 4 WHEN 0 THEN 0.55 WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 "
+        "ELSE 6.0 END) END AS DOUBLE) AS crawl_delay_s,\n"
+        "  CASE WHEN hid % 5 = 0 THEN '' ELSE "
+        "'/private/' || CAST(hid AS VARCHAR) || ',/tmp' END AS disallow_csv\n"
+        "FROM h"
     )
 
 
@@ -785,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
             ") t WHERE rk <= 3"
         ),
         "warc_ingest": _warc_ingest_oracle(),
+        "robots_parse": _robots_parse_oracle(),
         "wb_reconstruct": _wb_reconstruct_oracle(),
         # decoders: wire text round-trips the derived view, so the oracle is
         # the view itself (crawl re-derived from the filename path on the

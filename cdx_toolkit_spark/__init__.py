@@ -15,10 +15,15 @@ Layout:
   cdx_view    — deterministic CDX capture view derivation (portable SQL)
   query       — CdxQuery: the DataFrame query builder (iter/get/closest/...)
   pages       — synthetic pages-table generator for tests
-  dedup       — exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup
+  dedup       — exact / MinHash-LSH / SimHash / n-gram-Jaccard / cosine dedup
   similarity  — embedding cosine top-k (brute force + LSH-bucketed)
   multimodal  — binary media columns: schema + mapInPandas plumbing
-  frontier/   — URL-seen bloom shards, politeness, priority drain, streaming
+  warc        — WARC gzip-member ingest, byte-range record fetch, segmented sink
+  ingest      — pywb JSONL / IA list-of-lists wire decoders (+ encoders)
+  render      — kv/csv/jsonl renders + wayback replay reconstruction kernels
+  cli         — the `cdxt iter|warc|size` command-line shim
+  frontier/   — URL-seen bloom shards, politeness + retry/backoff, priority
+                drain (two-phase epoch commit), streaming drain + rate metrics
 """
 
 __version__ = "0.1.0"

@@ -39,8 +39,8 @@ def make_parser() -> ArgumentParser:
     parser.add_argument("--verbose", "-v", action="count")
     parser.add_argument("--cc", action="store_const", const="cc")
     parser.add_argument("--crawl", action="store",
-                        help="crawl names (comma separated) or an integer "
-                             "for the most recent N crawls. Implies --cc")
+                        help="comma-separated crawl names, or a bare integer "
+                             "selecting the N most recent crawls (implies --cc)")
     parser.add_argument("--ia", action="store_const", const="ia")
     parser.add_argument("--source", action="store")
     parser.add_argument("--wb", action="store")
