@@ -171,8 +171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )(cdx_captures(s, d)),
         # --- dedup family --------------------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        # max_doc_freq=100: the ubiquitous-shingle guard (a df-k shingle is
+        # k² self-join rows) — Jaccard over the non-boilerplate shingle sets
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), n=3, threshold_num=8, threshold_den=10,
+            max_doc_freq=100,
         ),
         # portable=True: md5-derived hashes, bit-identical in DuckDB, so both
         # probabilistic kernels carry full value-hash oracles (VERDICT r1 #3)
@@ -734,8 +737,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": (
             "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws"
             "  FROM documents),\n"
-            "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s\n"
+            "sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s\n"
             "  FROM w, unnest(generate_series(1, len(ws)-2)) AS g(i) WHERE len(ws) >= 3),\n"
+            "sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (\n"
+            "  SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100)),\n"
             "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
             "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter\n"
             "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)\n"

@@ -6,15 +6,21 @@ capture table is *derived* from `documents` by one deterministic, pure-SQL
 transformation (a function of doc_id only — no randomness, no clock).
 
 The SAME expression strings (portable Spark-SQL/ANSI subset: %, CASE, ||,
-lpad, md5, CAST) produce the view in both engines, with ONE deliberate
-exception: `urlkey`.
+lpad, md5, CAST) produce the view in both engines, with TWO deliberate
+exceptions: `urlkey` and `digest`.
 
   - Spark computes urlkey with the real SURT kernel over the `url` column
-    (cdx_toolkit_spark.surt.surt_col — regex/array built-ins).
-  - The DuckDB oracle constructs urlkey arithmetically from doc_id.
+    (cdx_toolkit_spark.surt.surt_col — regex/array built-ins); the DuckDB
+    oracle constructs urlkey arithmetically from doc_id.
+  - `digest` is CC-CDX-format: 32-char base32 of a 160-bit hash. Real WARC
+    ingest uses SHA-1 (textkit.digest_b32_col); this derived view feeds the
+    same base32 kernel md5-derived 40-hex input instead, because DuckDB 1.0
+    has md5 but not sha1 — Spark runs the pure-built-in kernel
+    (b32_from_hex40_col), DuckDB its SQL twin (oracle_b32_from_hex40).
 
-If the SURT kernel mis-canonicalizes anything, every oracle comparison that
-touches urlkey fails — the derivation doubles as an end-to-end SURT check.
+If the SURT kernel mis-canonicalizes anything (or the base32 kernel drops a
+bit), every oracle comparison that touches urlkey/digest fails — the
+derivation doubles as an end-to-end check of both kernels.
 
 Shape mirrors the reference capture record (pywb-normalized names, string
 timestamps — /root/reference/README.md:135, SURVEY.md §1.1): urlkey,
@@ -31,7 +37,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .surt import host_col, surt_col, url_hash_col
+from .textkit import b32_from_hex40_col, oracle_b32_from_hex40
 
 # -- shared subexpressions (strings of doc_id arithmetic) --------------------
 _PAGE = "(doc_id % 200)"
@@ -88,7 +97,6 @@ BASE_EXPRS = [
     f"{_STATUS} AS status",
     f"{_MIME} AS mime",
     f"{_MIME} AS mime_detected",
-    "md5(text) AS digest",
     "CAST(1000 + n_chars * 3 AS BIGINT) AS length",
     "CAST(doc_id * 100000 AS BIGINT) AS offset",
     f"('crawl-data/' || {_CRAWL} || '/segments/seg-' || "
@@ -99,6 +107,10 @@ BASE_EXPRS = [
     f"{_REDIRECT} AS redirect",
     "doc_id",
 ]
+
+# 40-hex-char (160-bit) digest input — shared string, evaluated identically
+# by both engines (md5 stands in for sha1; see module docstring).
+_DIGEST_HEX40 = "(md5(text) || substring(md5('cc' || text), 1, 8))"
 
 # The oracle's arithmetic urlkey (what SURT must agree with).
 ORACLE_URLKEY = (
@@ -128,8 +140,12 @@ def cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the capture view over `{sf_dir}/documents.parquet` (Spark side:
     real SURT over the url column)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = docs.selectExpr(*BASE_EXPRS)
-    return base.withColumn("urlkey", surt_col("url")).select(*CDX_COLUMNS)
+    base = docs.selectExpr(*BASE_EXPRS, f"{_DIGEST_HEX40} AS _digest_hex40")
+    return (
+        base.withColumn("urlkey", surt_col("url"))
+        .withColumn("digest", b32_from_hex40_col(F.col("_digest_hex40")))
+        .select(*CDX_COLUMNS)
+    )
 
 
 def oracle_cdx_cte() -> str:
@@ -141,7 +157,11 @@ def oracle_cdx_cte() -> str:
         e.replace("AS timestamp", 'AS "timestamp"').replace(
             "AS offset", 'AS "offset"'
         )
-        for e in [f"{ORACLE_URLKEY} AS urlkey"] + BASE_EXPRS
+        for e in [
+            f"{ORACLE_URLKEY} AS urlkey",
+            f"{oracle_b32_from_hex40(_DIGEST_HEX40)} AS digest",
+        ]
+        + BASE_EXPRS
     )
     return f"SELECT\n    {exprs}\n  FROM documents"
 

@@ -118,17 +118,37 @@ def ngram_jaccard_pairs(
     threshold_den: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
     Jaccard >= num/den is evaluated as den*|A∩B| >= num*|A∪B| in *integer*
     arithmetic — exact, portable, and oracle-friendly (no float rounding).
     Returns (doc_a, doc_b, n_inter, n_union).
+
+    ``max_doc_freq`` is the 100-TB scale guard: a shingle present in k docs
+    contributes k² rows to the inverted-index self-join, so ONE ubiquitous
+    boilerplate shingle ("click here to ...") makes a quadratic bucket.
+    With a cap, shingles whose document frequency exceeds it are excluded
+    from BOTH the intersection and the per-doc set sizes — i.e. Jaccard is
+    computed exactly over the *non-ubiquitous* shingle sets, a well-defined
+    semantic the DuckDB oracle mirrors. None = uncapped (fully exact).
     """
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(ngram_shingles_col(n, text_col)).alias("shingle"),
     ).where(F.col("shingle") != "")
+    if max_doc_freq is not None:
+        # shingles are deduped per-doc, so count(*) per shingle == doc freq;
+        # the agg is map-side-combined and the join shuffles on `shingle`,
+        # the same key the self-join below needs — no extra exchange shape.
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")

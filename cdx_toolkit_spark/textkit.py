@@ -9,15 +9,19 @@
   deliberately NOT used.
 - ``digest_b32_col``: Common-Crawl-style content digest — SHA-1 computed
   JVM-side (``F.sha1`` inside codegen), then a constant-size hex->base32
-  re-encode in an Arrow batch (reference README.md:233-235).
+  re-encode that is ALSO pure built-ins (conv + shiftright + substr over the
+  4×40-bit chunks of the 160-bit hash), so the whole digest stays inside
+  whole-stage codegen with zero Python (reference README.md:233-235).
+  ``oracle_b32_from_hex40`` is the DuckDB twin of the re-encode, so the
+  base32 kernel is end-to-end oracle-checked (DuckDB 1.0 lacks sha1, so the
+  oracle feeds it md5-derived 40-hex input instead; the SHA-1 half is pinned
+  by a hashlib golden in tests/test_round2_fixes.py).
 - Analysis kernels (token count, quality score, language guess, fingerprint)
   are pure built-in Column expressions: JVM codegen, no Python, and each has
   a portable ANSI-SQL twin used by the DuckDB oracle.
 """
 
 from __future__ import annotations
-
-import base64
 
 import pandas as pd
 from pyspark.sql import Column
@@ -35,27 +39,48 @@ def text_from_html_udf(html: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf(StringType())
-def _hex_to_b32_udf(hexstr: pd.Series) -> pd.Series:
-    return hexstr.map(
-        lambda h: None
-        if h is None
-        else base64.b32encode(bytes.fromhex(h)).decode("ascii")
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def b32_from_hex40_col(hexcol) -> Column:
+    """RFC-4648 base32 of exactly 40 hex chars (160 bits, the SHA-1 width).
+
+    160 bits factor as 4 × 40-bit chunks, each chunk as 8 × 5-bit base32
+    symbols — so no padding and every symbol boundary aligns. Each chunk is
+    parsed with `conv(hex, 16, 10)` (fits a long), then 32 substr lookups
+    into the alphabet. Pure built-ins: stays in whole-stage codegen, no
+    Python/Arrow on the 10^10-row ingest path."""
+    if isinstance(hexcol, str):
+        hexcol = F.col(hexcol)
+    h = F.lower(hexcol)
+    parts = []
+    for i in range(4):
+        v = F.conv(F.substring(h, i * 10 + 1, 10), 16, 10).cast("long")
+        for j in range(8):
+            idx = F.shiftright(v, 35 - 5 * j).bitwiseAND(F.lit(31)) + F.lit(1)
+            parts.append(F.substr(F.lit(_B32_ALPHABET), idx, F.lit(1)))
+    return F.concat(*parts)
+
+
+def oracle_b32_from_hex40(hex_expr: str) -> str:
+    """DuckDB twin of ``b32_from_hex40_col``: inline SQL (list comprehensions
+    + list_reduce hex parse) producing the identical 32-char base32 string
+    for any 40-hex-char input expression."""
+    return (
+        "list_aggregate(flatten(list_transform("
+        "[list_reduce([strpos('0123456789abcdef', x) - 1 "
+        f"for x in string_split(substring(lower({hex_expr}), i*10 + 1, 10), '')], "
+        "(a, b) -> a*16 + b) for i in range(4)], "
+        f"v -> [substring('{_B32_ALPHABET}', (((v >> (35 - 5*j)) & 31))::INT + 1, 1) "
+        "for j in range(8)])), 'string_agg', '')"
     )
 
 
 def digest_b32_col(content) -> Column:
-    """SHA-1 (JVM) + base32 re-encode, matching CC CDX `digest` format."""
-    from pyspark.sql import SparkSession
-
-    from .shipping import ensure_shipped
-
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        ensure_shipped(active)
+    """SHA-1 + base32, matching CC CDX `digest` format — all JVM built-ins."""
     if isinstance(content, str):
         content = F.col(content)
-    return _hex_to_b32_udf(F.sha1(content)).alias("digest")
+    return b32_from_hex40_col(F.sha1(content)).alias("digest")
 
 
 def _col(c):

@@ -316,3 +316,36 @@ def test_surt_col_adversarial_parity(spark):
     wanth = [_host_of(u) for u in urls]
     badh = [(u, g, w) for u, g, w in zip(urls, goth, wanth) if g != w]
     assert not badh, badh[:5]
+
+
+# ---------------------------------------------------------------------------
+# ngram jaccard: ubiquitous-shingle cap (the k² self-join guard)
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_max_doc_freq_cap(spark):
+    """A boilerplate trigram shared by every doc must not create pairs once
+    its document frequency exceeds the cap; true near-dups still match on
+    their rare shingles, with sizes counted over the filtered sets."""
+    boiler = "click here to"
+    # docs 1/2: boilerplate + the same 4 rare trigrams (6 tokens) -> exact
+    # dup over rare shingles; docs 3..12: boilerplate + unique tails
+    rows = [(1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " alpha beta gamma delta")]
+    rows += [(i, boiler + f" tail{i} x{i} y{i} z{i}") for i in range(3, 13)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold_num=8, threshold_den=10, max_doc_freq=3
+    ).collect()
+    # Only (1,2) survives: their rare shingles (df=2 <= 3) intersect fully;
+    # every shingle containing the boilerplate words has df >= 12 and is
+    # excluded from intersections AND set sizes on both sides.
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(1, 2)]
+    (pair,) = capped
+    assert pair.n_inter == pair.n_union  # exact dup over the filtered sets
+
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold_num=1, threshold_den=10
+    )
+    # sanity: without the cap the boilerplate shingle does link foreign docs
+    assert uncapped.where("doc_a = 3").count() > 0
