@@ -214,6 +214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             _emb(s, d), k=5, n_planes=10,
         ),
+        # IVF scale path: deterministic hashed-sample centroids => the oracle
+        # rebuilds the identical inverted lists in SQL (similarity.ivf_topk)
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _emb(s, d), k=5, nlist=16, nprobe=4,
+        ),
         # --- WARC path (S-7 ingest, F-11 gzip split, F-12 header parse) -------
         "warc_ingest": lambda s, d: _warc_ingest(s, d),
         # --- robots.txt -> politeness rules (J-2 upstream) ---------------------
@@ -860,4 +865,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_oracle(k=5, n_planes=10, seed=42, dim=64),
+        "ann_ivf_topk": (
+            "WITH e AS (SELECT vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings),\n"
+            "n AS (SELECT vec_id, v, CASE WHEN"
+            "  sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN 1.0"
+            "  ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm"
+            "  FROM e),\n"
+            "cents AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM n\n"
+            "  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),\n"
+            "ranked AS (SELECT *, row_number() OVER ("
+            "  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM (\n"
+            "  SELECT n.vec_id, n.v, n.nrm, c.cid,\n"
+            "    list_sum(list_transform(generate_series(1, len(n.v)),"
+            "      i -> n.v[i] * c.cvec[i])) / (n.nrm * c.cnrm) AS ccos\n"
+            "  FROM n, cents c)),\n"
+            "assign AS (SELECT vec_id AS n_id, v AS n_vec, nrm AS n_nrm,"
+            "  cid AS list_id FROM ranked WHERE crank = 1),\n"
+            "probes AS (SELECT vec_id AS q_id, v AS q_vec, nrm AS q_nrm,"
+            "  cid AS list_id FROM ranked WHERE crank <= 4),\n"
+            "p AS (SELECT q_id, n_id,\n"
+            "  list_sum(list_transform(generate_series(1, len(q_vec)),"
+            "    i -> q_vec[i] * n_vec[i])) / (q_nrm * n_nrm) AS cosine\n"
+            "  FROM probes JOIN assign USING (list_id) WHERE q_id <> n_id)\n"
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q_id AS query_id, n_id AS neighbor_id, row_number() OVER ("
+            "    PARTITION BY q_id ORDER BY cosine DESC, n_id"
+            "  ) AS rank FROM p) t WHERE rank <= 5"
+        ),
     }

@@ -94,28 +94,19 @@ _URL_PARTS_RE = (
 )
 
 
-def surt_col(url) -> Column:
-    """SURT as a pure built-in Column expression (JVM-side, codegen-friendly).
+# One-pass group packing: the anchored pattern matches the WHOLE string
+# exactly once, so a single regexp_replace rewrites the url into its four
+# groups joined by \x01 (a control char no sane URL carries) — ONE regex
+# execution per row instead of four regexp_extract matcher runs. Unmatched
+# optional groups render as '' in both the replacement and regexp_extract,
+# so the two forms agree group-by-group.
+_SEP = "\x01"
+_PACKED_FMT = f"$2{_SEP}$3{_SEP}$4{_SEP}$5"
 
-    Equivalent to ``surt`` above for every well-formed http(s) URL; verified
-    by property tests comparing the two on fixture + fuzzed URLs.
 
-    Hot-path shape (10^10 URLs at ingest): ONE shared anchored pattern with
-    group extracts instead of a chain of regexp_replace passes — the r1
-    profile showed the old 6+ replace pipeline memory-bandwidth-bound on the
-    intermediate strings (BENCH.md); this form does no intermediate string
-    rewrites at all (plus one small `www.` replace on the host only).
-    """
-    if isinstance(url, str):
-        url = F.col(url)
-    # btrim with the explicit whitespace set: F.trim strips SPACES ONLY,
-    # while the scalar spec (Python .strip) strips tabs/newlines too
-    u = F.lower(F.btrim(url, F.lit(_TRIM_CHARS)))
-    host = F.regexp_extract(u, _URL_PARTS_RE, 2)
-    port = F.regexp_extract(u, _URL_PARTS_RE, 3)  # ':<digits>' or ''
-    path = F.regexp_extract(u, _URL_PARTS_RE, 4)
-    query = F.regexp_extract(u, _URL_PARTS_RE, 5)
-
+def _surt_from_parts(host, port, path, query) -> Column:
+    """Assemble the urlkey from the four authority/rest parts (steps 3-6 of
+    the spec) — shared by the fast packed path and the exact fallback."""
     port = F.when(port.isin(":80", ":443"), F.lit("")).otherwise(port)
     host = F.regexp_replace(host, r"^www\d*\.", "")
     revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
@@ -130,7 +121,50 @@ def surt_col(url) -> Column:
         F.lit(")"),
         path,
         F.when(qsorted == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
-    ).alias("urlkey")
+    )
+
+
+def surt_col(url) -> Column:
+    """SURT as a pure built-in Column expression (JVM-side).
+
+    Equivalent to ``surt`` above for EVERY string input (not just well-formed
+    http(s) URLs); verified by property tests comparing the two on fixture +
+    fuzzed URLs, including the separator-collision fallback path.
+
+    Hot-path shape (10^10 URLs at ingest): ONE anchored-pattern pass packs
+    all four groups, and the packed array is LET-BOUND through a
+    single-element `transform` lambda so the split evaluates exactly once
+    per row — Catalyst's subexpression elimination does not dedupe repeated
+    subtrees inside conditional branches, so naming the value via a lambda
+    variable is the only way to keep one evaluation under the fallback
+    `when`. Measured 4x over per-group regexp_extract on 8M urls (the r1
+    profile showed a 6+ regexp_replace chain memory-bandwidth-bound; the r2
+    profile showed 4 separate extracts paying the matcher 4x — BENCH.md).
+    Rows containing the separator (garbage input, never real URLs) take the
+    exact per-group-extract branch instead of the packed parse.
+    """
+    if isinstance(url, str):
+        url = F.col(url)
+    # btrim with the explicit whitespace set: F.trim strips SPACES ONLY,
+    # while the scalar spec (Python .strip) strips tabs/newlines too
+    u = F.lower(F.btrim(url, F.lit(_TRIM_CHARS)))
+    packed = F.split(F.regexp_replace(u, _URL_PARTS_RE, _PACKED_FMT), _SEP, -1)
+    fast = F.element_at(
+        F.transform(
+            F.array(packed),
+            lambda p: _surt_from_parts(
+                F.element_at(p, 1),
+                F.element_at(p, 2),
+                F.element_at(p, 3),
+                F.element_at(p, 4),
+            ),
+        ),
+        1,
+    )
+    slow = _surt_from_parts(
+        *[F.regexp_extract(u, _URL_PARTS_RE, g) for g in (2, 3, 4, 5)]
+    )
+    return F.when(u.contains(_SEP), slow).otherwise(fast).alias("urlkey")
 
 
 def host_col(url) -> Column:
@@ -138,6 +172,7 @@ def host_col(url) -> Column:
 
     Keeps the 'www.' prefix OFF (same dropping rule as surt) so that
     http://www.x.com and http://x.com share one politeness bucket.
+    Single-group use => one plain regexp_extract IS the one-pass form.
     """
     if isinstance(url, str):
         url = F.col(url)

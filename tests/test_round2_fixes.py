@@ -349,3 +349,32 @@ def test_ngram_jaccard_max_doc_freq_cap(spark):
     )
     # sanity: without the cap the boilerplate shingle does link foreign docs
     assert uncapped.where("doc_a = 3").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: probing every list must recover the exact top-k
+# ---------------------------------------------------------------------------
+
+def test_ivf_topk_full_probe_equals_exact(spark):
+    """With nprobe == nlist every inverted list is probed, so the candidate
+    set is all-pairs and IVF must reproduce the exact cosine top-k
+    (brute_force_topk) including the (−cosine, neighbor_id) tie order."""
+    import math
+
+    rows = [
+        (i, [math.sin(0.7 * i + j) for j in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = similarity.ivf_topk(emb, k=3, nlist=4, nprobe=4)
+    exact = similarity.brute_force_topk(emb, k=3)
+    got = sorted(tuple(r) for r in ivf.collect())
+    want = sorted(tuple(r) for r in exact.collect())
+    assert got == want
+
+    # partial probe: still k rows per query, never self, ranks 1..k dense
+    part = similarity.ivf_topk(emb, k=3, nlist=8, nprobe=2).collect()
+    assert all(r.query_id != r.neighbor_id for r in part)
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())

@@ -42,6 +42,14 @@ def test_surt_column_matches_scalar(spark):
     urls += [
         s + w + h + p for s in schemes for w in wwws for h in hosts for p in paths
     ]
+    # separator-collision rows: \x01 in the input must take the exact
+    # fallback branch of the one-pass kernel, not corrupt the group packing
+    urls += [
+        "http://ex\x01ample.com/x",
+        "http://example.com/a\x01b?q=\x011",
+        "\x01",
+        "http://example.com/?a\x01=2",
+    ]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = [r[0] for r in df.select(surt_col("url")).collect()]
     want = [surt(u) for u in urls]
