@@ -122,9 +122,13 @@ def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
         aggs.append(F.max(adj_local).alias("_pm"))
         aggs.append(F.first("crawl_delay_s").alias("_delay"))
     # offsets: rows of the same host in earlier range partitions all precede
-    # this partition's rows; <= n_hosts * n_range_parts rows => broadcast
+    # this partition's rows; <= n_hosts * n_range_parts rows => broadcast.
+    # Without the gate the aggregation is count-only — it reads the
+    # PRE-window `ranged` frame, so the offsets branch never re-executes the
+    # window's exchange+sort (the gate's running max is the one thing that
+    # genuinely needs the ranked rows).
     offsets = (
-        local.groupBy("host", "_pid")
+        (local if with_gate else ranged).groupBy("host", "_pid")
         .agg(*aggs)
         .withColumn(
             "_offset",

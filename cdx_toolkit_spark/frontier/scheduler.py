@@ -267,6 +267,12 @@ class FrontierDrain:
         n_files = int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        # persist before the range write: repartitionByRange runs a SAMPLING
+        # pass first, which would otherwise re-execute the whole rank
+        # (window exchange+sort + offsets join) a second time just to learn
+        # the range bounds
+        scheduled = scheduled.persist()
+        caches.append(scheduled)
         (
             scheduled.repartitionByRange(
                 n_files, "batch", "fetch_time", "priority", "urlkey"
