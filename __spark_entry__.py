@@ -207,6 +207,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textkit.quality_score_col("text"),
             textkit.bpe_token_count_col("text"),
         ),
+        # composed end-to-end training-data pipeline: exact dedup (keep min
+        # doc_id per normalized text) -> quality gate -> per-doc stats, all
+        # ONE declarative plan — one map-side-combined shuffle for the dedup
+        # agg, a keyed semi-join for the keep set, zero Python
+        "pipeline_clean_corpus": lambda s, d: (
+            lambda docs: docs.join(
+                dedup.exact_dedup(docs)
+                .select(F.col("keep_id").alias("doc_id")),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                textkit.token_count_col("text"),
+                textkit.quality_score_col("text"),
+                textkit.lang_guess_col("text"),
+                textkit.fingerprint_col("text"),
+            )
+            .where(F.col("quality") >= 0.3)
+        )(_docs(s, d)),
         # --- similarity search ----------------------------------------------
         "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), k=5,
@@ -803,6 +822,26 @@ def oracle_sql() -> dict[str, str]:
             "  THEN 'en' ELSE 'unk' END AS lang_guess,"
             "  md5(norm) AS fingerprint "
             "FROM t"
+        ),
+        "pipeline_clean_corpus": (
+            "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents\n"
+            "  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),\n"
+            "t AS (SELECT d.doc_id,\n"
+            "  CASE WHEN trim(text) = '' THEN 0"
+            "    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,\n"
+            "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
+            "    x -> list_contains(['the','a','of','and','to'], x))) AS sw,\n"
+            "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm\n"
+            "  FROM documents d JOIN keep USING (doc_id)),\n"
+            "q AS (SELECT doc_id, nt AS n_tokens,\n"
+            "  round(0.5 * least(1.0, nt / 64.0) + 0.5 * least(1.0,"
+            "    4.0 * (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE) / nt"
+            "           ELSE 0.0 END)), 6) AS quality,\n"
+            "  CASE WHEN nt > 0 AND CAST(sw AS DOUBLE) / nt >= 0.02"
+            "    THEN 'en' ELSE 'unk' END AS lang_guess,\n"
+            "  md5(norm) AS fingerprint FROM t)\n"
+            "SELECT doc_id, n_tokens, quality, lang_guess, fingerprint\n"
+            "FROM q WHERE quality >= 0.3"
         ),
         "ann_cosine_topk": (
             "WITH e AS (SELECT vec_id,"

@@ -83,6 +83,8 @@ def main() -> None:
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
+        "pipeline_clean_corpus",
         "text_stats",
         "events_daily_counts",
         "warc_ingest",

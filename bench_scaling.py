@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cdx_toolkit_spark.shipping import build_pyfiles_zip
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "8000000"))
+# 16M candidates/epoch: the per-epoch batch a 10^10-URL frontier actually
+# drains. Epoch size is ALSO the scaling-measurement lever — per-epoch fixed
+# costs (driver job scheduling, manifest/bloom bookkeeping) don't shrink
+# with N cores, so a too-small batch measures overhead amortization, not
+# engine scaling; r2's kernel speedups made 8M/epoch overhead-visible.
+N_URLS = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "16000000"))
 N_EPOCHS = int(os.environ.get("SPARK_GRAFT_SCALE_EPOCHS", "3"))
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(","))
 
@@ -80,6 +85,10 @@ def run_level(cores: int, zpath: str) -> dict:
         "--epochs", str(N_EPOCHS),
         "--workdir", workdir,
         "--n-shards", "32",
+        # ~10 bits/key over 3x16M-url epochs (~43M distinct urlkeys):
+        # 32 shards x 2^24 bits = 537M bits => fp ~1%, so the exact
+        # anti-join backstop stays on the cheap path
+        "--m-bits", str(1 << 24),
     ]
     def steal_jiffies():
         with open("/proc/stat") as fd:

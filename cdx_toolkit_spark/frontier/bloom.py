@@ -87,16 +87,27 @@ class BloomShardStore:
         self.n_shards = n_shards
         self.m_bits = m_bits
         self.k = k
+        # in-process version cache: latest_version() is otherwise a small
+        # Spark job (parquet read + max agg) and the drain asks 3-4 times
+        # PER EPOCH — pure fixed overhead that caps scaling efficiency.
+        # Mutations go through this object, so the cache stays coherent
+        # in-process; a fresh process (crash replay) starts cold and reads
+        # disk, which is exactly the resume semantics the manifest needs.
+        self._version_cache: int | None = None
 
     # -- versioning -------------------------------------------------------
 
-    def latest_version(self) -> int:
+    def latest_version(self, refresh: bool = False) -> int:
+        if self._version_cache is not None and not refresh:
+            return self._version_cache
         try:
             df = self.spark.read.parquet(self.path)
         except Exception:
+            self._version_cache = 0
             return 0
         row = df.agg(F.max("version")).first()
-        return int(row[0]) if row[0] is not None else 0
+        self._version_cache = int(row[0]) if row[0] is not None else 0
+        return self._version_cache
 
     def _read_version(self, version: int) -> DataFrame:
         return self.spark.read.parquet(self.path).where(
@@ -176,6 +187,7 @@ class BloomShardStore:
             .applyInPandas(update, SHARD_SCHEMA)
         )
         updated.write.mode("append").parquet(self.path)
+        self._version_cache = new_version
         return new_version
 
     # -- probe -------------------------------------------------------------
@@ -235,3 +247,4 @@ class BloomShardStore:
 
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.path, exist_ok=True)
+        self._version_cache = None

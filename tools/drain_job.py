@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--batch-window", type=float, default=60.0)
     ap.add_argument("--n-shards", type=int, default=32)
+    ap.add_argument("--m-bits", type=int, default=1 << 22,
+                    help="bloom bits per shard; size for ~10 bits/key over "
+                    "the run's total distinct urlkeys")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -37,7 +40,7 @@ def main() -> None:
 
     drain = FrontierDrain(
         spark, args.workdir, batch_window=args.batch_window,
-        n_shards=args.n_shards, m_bits=1 << 22, mitigate_skew=True,
+        n_shards=args.n_shards, m_bits=args.m_bits, mitigate_skew=True,
     )
     robots = spark.createDataFrame(
         [("hot-cdn.example.com", 0.01, ["/private"])],
