@@ -234,9 +234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), k=5, n_planes=10,
         ),
         # IVF scale path: deterministic hashed-sample centroids => the oracle
-        # rebuilds the identical inverted lists in SQL (similarity.ivf_topk)
+        # rebuilds the identical inverted lists in SQL (similarity.ivf_topk).
+        # nlist ~ sqrt(n) keeps candidates/query at ~nprobe*sqrt(n)
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
-            _emb(s, d), k=5, nlist=16, nprobe=4,
+            _emb(s, d), k=5, nlist=64, nprobe=8,
         ),
         # --- WARC path (S-7 ingest, F-11 gzip split, F-12 header parse) -------
         "warc_ingest": lambda s, d: _warc_ingest(s, d),
@@ -913,7 +914,7 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm"
             "  FROM e),\n"
             "cents AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM n\n"
-            "  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),\n"
+            "  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 64),\n"
             "ranked AS (SELECT *, row_number() OVER ("
             "  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM (\n"
             "  SELECT n.vec_id, n.v, n.nrm, c.cid,\n"
@@ -923,7 +924,7 @@ def oracle_sql() -> dict[str, str]:
             "assign AS (SELECT vec_id AS n_id, v AS n_vec, nrm AS n_nrm,"
             "  cid AS list_id FROM ranked WHERE crank = 1),\n"
             "probes AS (SELECT vec_id AS q_id, v AS q_vec, nrm AS q_nrm,"
-            "  cid AS list_id FROM ranked WHERE crank <= 4),\n"
+            "  cid AS list_id FROM ranked WHERE crank <= 8),\n"
             "p AS (SELECT q_id, n_id,\n"
             "  list_sum(list_transform(generate_series(1, len(q_vec)),"
             "    i -> q_vec[i] * n_vec[i])) / (q_nrm * n_nrm) AS cosine\n"

@@ -132,6 +132,45 @@ def main() -> None:
         ],
     )
 
+    # 6b. composed clean-corpus pipeline: dedup agg is partial, the keep-set
+    #     join is keyed (never cartesian), single documents scan feeds both
+    #     sides of the self-semi-join shape
+    audit(
+        "pipeline_clean_corpus", qs["pipeline_clean_corpus"](spark, SF_DIR),
+        [
+            ("partial agg before the dedup shuffle",
+             contains(r"HashAggregate .*partial", re.I | re.S)),
+            ("keyed join (no cartesian product)", absent(r"CartesianProduct")),
+            # the quality gate must be evaluated ON THE SCAN SIDE, below the
+            # keep-set join — Catalyst pushes the threshold predicate through
+            # the join so disqualified docs never enter the build/probe
+            ("quality filter pushed below the join onto the scan",
+             lambda plan: (
+                 bool(re.search(r"Filter \(\d+\)\s*\n\s*:?\s*\+- Scan parquet",
+                                tree_of(plan)))
+                 and ">= 0.3" in plan,
+                 "filter sits directly over the scan"
+                 if re.search(r"Filter \(\d+\)\s*\n\s*:?\s*\+- Scan parquet",
+                              tree_of(plan))
+                 else "filter not adjacent to scan")),
+        ],
+    )
+
+    # 6c. IVF ANN: centroid assignment must be a BROADCAST nested-loop over
+    #     the nlist rows (map-side, no corpus shuffle for assignment); the
+    #     candidate join is keyed on list_id
+    audit(
+        "ann_ivf_topk", qs["ann_ivf_topk"](spark, SF_DIR),
+        [
+            ("centroids broadcast into assignment",
+             contains(r"BroadcastNestedLoopJoin")),
+            ("no cartesian product", absent(r"CartesianProduct")),
+            ("candidate join keyed on list_id",
+             contains(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                      r".{0,200}list_id", re.S)),
+        ],
+    )
+
     # 7. frontier politeness: robots joined via broadcast
     from cdx_toolkit_spark.frontier import politeness
     from cdx_toolkit_spark.frontier.scheduler import prepare
