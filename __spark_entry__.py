@@ -914,7 +914,10 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm"
             "  FROM e),\n"
             "cents AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM n\n"
-            "  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 64),\n"
+            # inner mod 2^31 keeps the product under 2^63 for any BIGINT
+            # vec_id (ADVICE r2) — kept in lockstep with similarity.ivf_topk
+            "  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296,"
+            "  vec_id LIMIT 64),\n"
             "ranked AS (SELECT *, row_number() OVER ("
             "  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM (\n"
             "  SELECT n.vec_id, n.v, n.nrm, c.cid,\n"

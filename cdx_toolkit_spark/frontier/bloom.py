@@ -103,7 +103,17 @@ class BloomShardStore:
         try:
             df = self.spark.read.parquet(self.path)
         except Exception:
-            self._version_cache = 0
+            # cache the 0 only when the store is CONFIRMED absent/empty; a
+            # transient read failure must not pin 0 for the process
+            # lifetime — a later add() would take base_version=0 and write
+            # a duplicate version-1 row set over existing higher versions
+            # (ADVICE r2)
+            if not any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(self.path)
+                for f in fs
+            ):
+                self._version_cache = 0
             return 0
         row = df.agg(F.max("version")).first()
         self._version_cache = int(row[0]) if row[0] is not None else 0

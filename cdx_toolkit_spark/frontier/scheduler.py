@@ -149,6 +149,9 @@ class FrontierDrain:
             spark, os.path.join(workdir, "bloom"), n_shards=n_shards,
             m_bits=m_bits,
         )
+        # pending phase-2 bookkeeping future (overlap_bookkeeping=True)
+        self._pending = None
+        self._pending_pool = None
 
     # -- lineage -----------------------------------------------------------
 
@@ -193,9 +196,32 @@ class FrontierDrain:
 
     # -- the drain step ------------------------------------------------------
 
+    def flush(self) -> dict | None:
+        """Join any in-flight phase-2 bookkeeping (overlap_bookkeeping=True)
+        and return its manifest record, or None if nothing was pending."""
+        if self._pending is None:
+            return None
+        fut, self._pending = self._pending, None
+        try:
+            return fut.result()
+        finally:
+            if self._pending_pool is not None:
+                self._pending_pool.shutdown(wait=False)
+                self._pending_pool = None
+
     def drain_epoch(self, candidates: DataFrame,
-                    robots: DataFrame | None = None) -> dict:
+                    robots: DataFrame | None = None,
+                    overlap_bookkeeping: bool = False) -> dict:
         """One epoch: dedup + schedule + write. Returns the lineage record.
+
+        overlap_bookkeeping=True returns right after the phase-1 commit
+        (schedule durable + marker written) and runs phase 2 — seen-store,
+        bloom delta, host-state, manifest — in a background thread. The
+        NEXT drain_epoch (or flush()) joins it before touching any state it
+        writes, so in a streaming micro-batch loop the ~O(seconds) of
+        bookkeeping overlaps the next batch's dedupe/rank compute instead
+        of sitting on the latency path. The returned record then carries
+        the phase-1 fields only (no bloom_version — read it via flush()).
 
         Effectively-once via a TWO-PHASE commit:
           phase 1 — compute + write schedule/ep_N, then write the per-epoch
@@ -211,6 +237,7 @@ class FrontierDrain:
         and phase 2 re-runs idempotently.
         """
         spark = self.spark
+        self.flush()  # phase 2 of a prior overlapped epoch must land first
         epoch = self.last_epoch() + 1
         marker = self._marker_path(epoch)
         if os.path.exists(marker):
@@ -228,14 +255,16 @@ class FrontierDrain:
         has_backoff = "next_attempt_ts" in candidates.columns
 
         frontier = prepare(candidates)
-        # persist: the deduped frontier feeds the two-phase rank (local ranks
-        # + offsets), the batch write, and the seen-store update — without
-        # this the SURT UDF + dedupe window recompute once per branch
+        # no persist on the dedupe output: every rank flavor materializes
+        # its own frame (localCheckpoint in the skew-safe paths, the
+        # persisted `scheduled` otherwise), so the SURT + dedupe lineage is
+        # executed exactly once either way — the r2 cache here was a full
+        # extra in-memory copy of the epoch on the latency path
         caches: list = []
         fresh = dedupe(
             frontier, self.store, self._seen_exact(),
             split_retries=has_backoff, caches=caches,
-        ).persist()
+        )
         polite = politeness.attach_robots(fresh, robots)
         scheduled = politeness.assign_fetch_times(
             polite if has_backoff else polite.drop("next_attempt_ts"),
@@ -272,7 +301,6 @@ class FrontierDrain:
         # (window exchange+sort + offsets join) a second time just to learn
         # the range bounds
         scheduled = scheduled.persist()
-        caches.append(scheduled)
         (
             scheduled.repartitionByRange(
                 n_files, "batch", "fetch_time", "priority", "urlkey"
@@ -281,9 +309,10 @@ class FrontierDrain:
             .write.mode("overwrite")
             .parquet(out_path)
         )
-        written = self._read_epoch(out_path, scheduled.schema)
-        n_scheduled = written.count()
-        fresh.unpersist()
+        # count from the persisted frame the write just materialized — the
+        # r2 parquet read-back + count was a full extra scan of the epoch
+        # output purely to learn a number the cache already holds
+        n_scheduled = scheduled.count()
         for c in caches:
             c.unpersist()
 
@@ -301,19 +330,34 @@ class FrontierDrain:
         with open(tmp, "w") as fd:
             fd.write(json.dumps(rec0))
         os.replace(tmp, marker)
-        return self._finish_epoch(rec0)
+        if overlap_bookkeeping:
+            from concurrent.futures import ThreadPoolExecutor
 
-    def _finish_epoch(self, rec0: dict) -> dict:
+            self._pending_pool = ThreadPoolExecutor(max_workers=1)
+            self._pending = self._pending_pool.submit(
+                self._finish_epoch, rec0, scheduled
+            )
+            return rec0
+        return self._finish_epoch(rec0, scheduled)
+
+    def _finish_epoch(self, rec0: dict, written: DataFrame | None = None) -> dict:
         """Phase 2: bookkeeping + manifest for a committed epoch output.
 
         Every step is idempotent: seen-store and host-state are per-epoch
         OVERWRITEs; the bloom delta is skipped when latest_version moved past
         bloom_version_before (a crashed run already applied it — counting
         shards must not double-count or later deletes would under-delete).
+
+        `written` is the in-process persisted epoch frame when phase 1 ran
+        in this process (no re-scan of the freshly-written parquet — the r2
+        read-back was a measurable per-epoch fixed cost); the crash-replay
+        path passes None and reads the committed output back from disk.
         """
         epoch = rec0["epoch"]
         n_scheduled = rec0["n_scheduled"]
-        written = self.schedule_df(epoch)
+        cached = written is not None
+        if written is None:
+            written = self.schedule_df(epoch)
 
         # bookkeeping: three independent consumers of `written` (seen-store,
         # bloom-shard delta, politeness carryover) run as CONCURRENT Spark
@@ -371,6 +415,8 @@ class FrontierDrain:
         }
         with open(self._manifest_path(), "a") as fd:
             fd.write(json.dumps(record) + "\n")
+        if cached:
+            written.unpersist()
         return record
 
     # -- reading the drained schedule ---------------------------------------

@@ -188,83 +188,180 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm_chunk: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize every vector to its
     nearest of `nlist` centroids, probe the `nprobe` nearest lists per
     query, exact-cosine re-rank only inside probed lists.
 
     Centroid seeding is a DETERMINISTIC hashed sample — the `nlist` vectors
-    minimizing (vec_id * 2654435761) mod 2^32 (Knuth multiplicative spread)
-    — instead of k-means iterations, so the DuckDB oracle derives the
-    IDENTICAL lists from the same SQL-expressible rule and the whole
-    operator is value-checkable. k-means refinement is a deployment-time
-    quality knob that does not change the Spark plan: centroids arrive as a
-    small broadcast table either way.
+    minimizing ((vec_id mod 2^31) * 2654435761) mod 2^32 (Knuth
+    multiplicative spread; the inner mod keeps the product under 2^63 for
+    any BIGINT vec_id — ADVICE r2) — instead of k-means iterations, so the
+    DuckDB oracle derives the IDENTICAL lists from the same SQL-expressible
+    rule and the whole operator is value-checkable. k-means refinement is a
+    deployment-time quality knob that does not change the Spark plan:
+    centroids arrive as a small broadcast blob either way.
 
-    Plan shape (the part that matters at 10^9 vectors): assignment is a
-    BROADCAST nested-loop over nlist rows (map-side, no shuffle of the
-    corpus); the candidate join shuffles on `list_id` only (AQE splits hot
-    lists); every vector belongs to exactly one list so a (query, base)
-    pair is generated at most once — no pair dedup stage. All dot products
-    are zip_with/aggregate built-ins: zero Python anywhere.
+    Execution (r3, replacing the r2 per-pair zip_with/aggregate dots that
+    made this kernel ~4x slower than its LSH sibling):
+      1. centroids pack into ONE broadcast row (ids + row-major matrix);
+      2. the corpus packs into dense blocks (`_pack_blocks`), each block
+         GEMMs against the centroid matrix once — assignment and the
+         nprobe probe lists come out of a single argsort per block, and
+         rows re-emerge with their unit-normalized vector as a float64
+         blob (no second normalization pass, no corpus re-join);
+      3. members cogroup with probes on `list_id` (the only shuffle of
+         vector payloads — AQE splits hot lists) and each list scores as
+         chunked GEMMs (`gemm_chunk` bounds per-task memory) with a
+         per-query partial top-k inside the list;
+      4. a global window merges per-list partials into the final top-k.
 
     Returns (query_id, neighbor_id, rank); ties by neighbor id. Recall < 1
     by construction (unprobed lists), the standard IVF trade.
     """
-    spread = (F.col("vid") * F.lit(2654435761)) % F.lit(4294967296)
+    import pandas as pd
+
+    from .shipping import ensure_shipped
+
+    ensure_shipped(embeddings.sparkSession)
+    spark = embeddings.sparkSession
+    spread = (
+        (F.col("vid") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
     base = embeddings.select(
         F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
     )
-    base = base.withColumn(
-        "_norm",
-        F.sqrt(_dot(F.col("vec"), F.col("vec"))),
-    ).withColumn("_norm", F.when(F.col("_norm") == 0, F.lit(1.0)).otherwise(F.col("_norm")))
-    cents = (
-        base.orderBy(spread.asc(), F.col("vid").asc())
-        .limit(nlist)
-        .select(
-            F.col("vid").alias("cid"),
-            F.col("vec").alias("cvec"),
-            F.col("_norm").alias("cnorm"),
+    n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # -- 1. centroid blob: the same SQL-derivable hashed-sample rule, packed
+    # into a single broadcastable row (ids ascending is NOT wanted here —
+    # centroid order must follow the spread rule only through membership,
+    # tie-breaks use cid value, so pack keeps plain ids + matrix)
+    cents = base.orderBy(spread.asc(), F.col("vid").asc()).limit(nlist)
+
+    def pack_cents(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
         )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        return pd.DataFrame(
+            {
+                "cids": [ids.tobytes()],
+                "cmat": [np.ascontiguousarray(mat).tobytes()],
+                "cn": [len(ids)],
+                "cdim": [mat.shape[1] if len(ids) else 0],
+            }
+        )
+
+    cent_blob = cents.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        lambda key, pdf: pack_cents(pdf),
+        "cids binary, cmat binary, cn int, cdim int",
     )
-    cos_to_cent = (
-        _dot(F.col("vec"), F.col("cvec")) / (F.col("_norm") * F.col("cnorm"))
-    ).alias("ccos")
-    ranked = (
-        base.crossJoin(F.broadcast(cents))
-        .select("vid", "vec", "_norm", "cid", cos_to_cent)
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vid").orderBy(
-                    F.col("ccos").desc(), F.col("cid").asc()
+
+    # -- 2. assignment: one GEMM per corpus block against the centroid
+    # matrix; every row leaves with its probe list ids (crank 1..nprobe)
+    # and its unit vector, so scoring never re-reads the corpus
+    blocks = _pack_blocks(base, "vid", "vec", n_blocks)
+    grid = blocks.crossJoin(F.broadcast(cent_blob))
+
+    def assign(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ids = np.frombuffer(r.ids, dtype=np.int64)
+                if not len(ids):
+                    continue
+                mat = np.frombuffer(r.mat, dtype=np.float64).reshape(r.n, r.dim)
+                cids = np.frombuffer(r.cids, dtype=np.int64)
+                cmat = np.frombuffer(r.cmat, dtype=np.float64).reshape(
+                    r.cn, r.cdim
                 )
-            ),
+                ccos = mat @ cmat.T  # both sides unit-normalized
+                npb = min(nprobe, len(cids))
+                # order by (-ccos, cid): lexsort's last key is primary
+                order = np.lexsort(
+                    (np.broadcast_to(cids, ccos.shape), -ccos), axis=1
+                )[:, :npb]
+                blobs = [row.tobytes() for row in mat]
+                for crank in range(npb):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vid": ids,
+                                "list_id": cids[order[:, crank]],
+                                "crank": np.int32(crank + 1),
+                                "uvec": blobs,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+            else:
+                empty = pd.DataFrame(
+                    {
+                        "vid": pd.Series([], dtype="int64"),
+                        "list_id": pd.Series([], dtype="int64"),
+                        "crank": pd.Series([], dtype="int32"),
+                        "uvec": pd.Series([], dtype=object),
+                    }
+                )
+                yield empty
+
+    ranked = grid.mapInPandas(
+        assign, "vid long, list_id long, crank int, uvec binary"
+    )
+    # -- 3. per-list chunked GEMM + partial top-k (the dedup
+    # lsh_bucketed_cosine_pairs memory-bounding pattern). One plain groupBy
+    # on `ranked` — each group carries BOTH roles (crank==1 rows are the
+    # list's members; every row is a probe), so the assignment pass runs
+    # once and there is no self-cogroup of the same lineage.
+    def score_list(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
+            {"q_id": "int64", "n_id": "int64", "cosine": "float64"}
         )
+        mem = pdf[pdf["crank"] == 1]
+        if not len(pdf) or not len(mem):
+            return empty
+        q_ids = pdf["vid"].to_numpy(dtype=np.int64)
+        n_ids = mem["vid"].to_numpy(dtype=np.int64)
+        qm = np.vstack(
+            [np.frombuffer(b, dtype=np.float64) for b in pdf["uvec"]]
+        )
+        nm = np.vstack(
+            [np.frombuffer(b, dtype=np.float64) for b in mem["uvec"]]
+        )
+        outs = []
+        for lo in range(0, len(q_ids), gemm_chunk):
+            sims = qm[lo : lo + gemm_chunk] @ nm.T
+            qi = q_ids[lo : lo + gemm_chunk]
+            sims[qi[:, None] == n_ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(qi, kk)
+            cols = n_ids[part.ravel()]
+            vals = np.take_along_axis(sims, part, axis=1).ravel()
+            keep = np.isfinite(vals)
+            outs.append(
+                pd.DataFrame(
+                    {"q_id": rows[keep], "n_id": cols[keep], "cosine": vals[keep]}
+                )
+            )
+        return pd.concat(outs) if outs else empty
+
+    partials = ranked.groupBy("list_id").applyInPandas(
+        score_list, "q_id long, n_id long, cosine double"
     )
-    assign = ranked.where(F.col("crank") == 1).select(
-        F.col("vid").alias("n_id"),
-        F.col("vec").alias("n_vec"),
-        F.col("_norm").alias("n_norm"),
-        F.col("cid").alias("list_id"),
-    )
-    probes = ranked.where(F.col("crank") <= nprobe).select(
-        F.col("vid").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("_norm").alias("q_norm"),
-        F.col("cid").alias("list_id"),
-    )
-    pairs = probes.join(assign, "list_id").where(F.col("q_id") != F.col("n_id"))
-    sim = (
-        _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
-    ).alias("cosine")
-    scored = pairs.select("q_id", "n_id", sim)
+
+    # -- 4. global merge
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             F.col("q_id").alias("query_id"),

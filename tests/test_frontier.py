@@ -14,7 +14,14 @@ from cdx_toolkit_spark.surt import surt
 
 def _seed_urls(n=240):
     """Deterministic skewed seed list: ~40% of urls on bighost.com, the rest
-    spread over 20 hosts; interleaved priorities and discovery times."""
+    spread over 20 hosts; interleaved priorities and discovery times.
+
+    Every 16th row is a MIXED-CASE variant (uppercase scheme/host, cased
+    path) — some hitting bighost's /private disallow rule. The reference
+    matcher lowercases the whole URL before the path prefix test
+    (reference_impl._path_of), so these rows pin the robots case-parity
+    the r2 drain got wrong (VERDICT r2 defect #1: an uppercase scheme
+    slipped past the raw-URL path regex and got scheduled)."""
     seeds = []
     for i in range(n):
         if i % 10 < 4:
@@ -22,7 +29,11 @@ def _seed_urls(n=240):
         else:
             host = f"host{i % 20}.org"
         www = "www." if i % 2 == 0 else ""
-        url = f"https://{www}{host}/p/{i % 80}?x={i % 5}"
+        if i % 16 == 7:
+            path = "Private" if i % 32 == 7 else "P"
+            url = f"HTTPS://{www.upper()}{host.upper()}/{path}/{i % 80}?x={i % 5}"
+        else:
+            url = f"https://{www}{host}/p/{i % 80}?x={i % 5}"
         seeds.append((url, i % 3, 1000 + (i * 37) % 500))
     return seeds
 
