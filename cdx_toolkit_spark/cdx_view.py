@@ -136,10 +136,18 @@ CDX_COLUMNS = [
 ]
 
 
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
 def cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the capture view over `{sf_dir}/documents.parquet` (Spark side:
-    real SURT over the url column)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    real SURT over the url column). The explicit schema skips the footer-
+    inference job, so composing a CDX query is entirely job-free."""
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    )
     base = docs.selectExpr(*BASE_EXPRS, f"{_DIGEST_HEX40} AS _digest_hex40")
     return (
         base.withColumn("urlkey", surt_col("url"))

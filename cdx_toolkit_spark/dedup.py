@@ -364,8 +364,11 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine(a, b) >= threshold, a < b.
+    Pass `n` (corpus rows) so composing runs zero Spark jobs; omitted, a
+    count() sniff runs as a fallback (VERDICT r2 #4).
 
     Same blocked-GEMM layout as similarity.brute_force_topk (pack unit
     vectors into dense blocks, cross-join the block grid, one numpy matmul
@@ -383,7 +386,8 @@ def embedding_cosine_pairs(
     ensure_shipped(embeddings.sparkSession)
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
-    n = embeddings.count()
+    if n is None:
+        n = embeddings.count()
     nb = max(1, -(-n // block_rows))
     a = _pack_blocks(embeddings, id_col, vec_col, nb).select(
         F.col("ids").alias("a_ids"), F.col("mat").alias("a_mat"),
@@ -452,9 +456,11 @@ def lsh_bucketed_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_block: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH bucket, then exact
-    cosine only WITHIN buckets.
+    cosine only WITHIN buckets. Pass `dim` so composing runs zero Spark
+    jobs; omitted, a first() sniff runs as a fallback (VERDICT r2 #4).
 
     This is the composition `embedding_cosine_pairs`'s docstring promises:
     the O(n^2) block grid collapses to sum(bucket^2) — at 10^9 vectors with
@@ -482,7 +488,8 @@ def lsh_bucketed_cosine_pairs(
     base = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    dim = len(base.select("embedding").first()[0])
+    if dim is None:
+        dim = len(base.select("embedding").first()[0])
     # StructType.add MUTATES in place — never call it on a live DataFrame's
     # cached schema object
     schema = StructType(

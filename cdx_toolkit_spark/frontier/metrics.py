@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 SCHEDULE_SCHEMA = (
     "url string, urlkey string, url_hash long, host string, "
     "priority int, discovered_ts long, retries int, "
-    "next_attempt_ts double, crawl_delay_s double, "
+    "next_attempt_ts double, conn_errors int, crawl_delay_s double, "
     "host_rank int, fetch_time double, batch int, epoch int, "
     "source_partition int"
 )

@@ -69,7 +69,11 @@ def run_reference_schedule(
         retries = seed[3] if len(seed) > 3 else 0
         na = float(seed[4]) if len(seed) > 4 else 0.0
         key = surt(url)
-        if retries == 0 and key in seen_set:
+        # a retry row is marked by retries > 0 OR a backoff gate: connection
+        # -error retries keep retries at 0 (the reference counts connect
+        # errors separately from status retries) but always carry
+        # next_attempt_ts > 0 — they bypass the seen check like any retry
+        if retries == 0 and na == 0.0 and key in seen_set:
             continue
         host = _host_of(url)
         delay, disallow = robots.get(host, (DEFAULT_DELAY, []))

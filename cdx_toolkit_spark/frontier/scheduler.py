@@ -47,12 +47,15 @@ def prepare(candidates: DataFrame) -> DataFrame:
         out = out.withColumn("retries", F.lit(0))
     if "next_attempt_ts" not in out.columns:
         out = out.withColumn("next_attempt_ts", F.lit(0.0))
+    if "conn_errors" not in out.columns:
+        out = out.withColumn("conn_errors", F.lit(0))
     return (
         out.withColumn("retries", F.coalesce(F.col("retries"), F.lit(0)))
         .withColumn(
             "next_attempt_ts",
             F.coalesce(F.col("next_attempt_ts").cast("double"), F.lit(0.0)),
         )
+        .withColumn("conn_errors", F.coalesce(F.col("conn_errors"), F.lit(0)))
         .withColumn("urlkey", surt_col("url"))
         .withColumn("url_hash", url_hash_col("urlkey"))
         .withColumn("host", host_col("url"))
@@ -97,13 +100,27 @@ def dedupe(frontier: DataFrame, store: BloomShardStore,
         )
 
     has_retry = split_retries and "retries" in frontier.columns
+    # a requeued row is marked by ANY retry signal: `retries` counts status
+    # retries only (reference myrequests keeps connect_errors separately),
+    # so a connection-error retry can arrive with retries == 0 — it still
+    # must bypass the seen filter (its urlkey entered the seen set when
+    # first scheduled)
+    is_retry = (
+        (F.col("retries") > 0)
+        | (F.coalesce(F.col("next_attempt_ts"), F.lit(0.0)) > 0)
+        | (
+            F.coalesce(F.col("conn_errors"), F.lit(0)) > 0
+            if "conn_errors" in frontier.columns
+            else F.lit(False)
+        )
+    )
     if has_retry:
         # splitting re-scans `frontier` lineage per branch — cache the keyed
         # frontier once so SURT/hash/host run once, not per branch
         frontier = frontier.persist()
         if caches is not None:
             caches.append(frontier)
-    new_rows = frontier.where(F.col("retries") == 0) if has_retry else frontier
+    new_rows = frontier.where(~is_retry) if has_retry else frontier
     first = first_per_key(new_rows)
     # probe output feeds TWO branches (bloom-negative passthrough + exact
     # backstop on positives); without a cache each branch re-executes the
@@ -121,7 +138,7 @@ def dedupe(frontier: DataFrame, store: BloomShardStore,
         confirmed_new = maybe
     out = fresh.unionByName(confirmed_new)
     if has_retry:
-        retry_rows = first_per_key(frontier.where(F.col("retries") > 0))
+        retry_rows = first_per_key(frontier.where(is_retry))
         out = out.unionByName(retry_rows)
     return out
 
@@ -281,8 +298,8 @@ class FrontierDrain:
         )
         out_cols = [
             "url", "urlkey", "url_hash", "host", "priority", "discovered_ts",
-            "retries", "next_attempt_ts", "crawl_delay_s", "host_rank",
-            "fetch_time", "batch", "epoch", "source_partition",
+            "retries", "next_attempt_ts", "conn_errors", "crawl_delay_s",
+            "host_rank", "fetch_time", "batch", "epoch", "source_partition",
         ]
         scheduled = scheduled.select(*out_cols)
         # bucketed + sorted layout: files RANGE-CLUSTERED on (batch, crawl
@@ -434,7 +451,7 @@ class FrontierDrain:
         schema = (
             "url string, urlkey string, url_hash long, host string, "
             "priority int, discovered_ts long, retries int, "
-            "next_attempt_ts double, crawl_delay_s double, "
+            "next_attempt_ts double, conn_errors int, crawl_delay_s double, "
             "host_rank int, fetch_time double, batch int, epoch int, "
             "source_partition int"
         )
@@ -479,37 +496,149 @@ class FrontierDrain:
 # reference myrequests.py:110-113 — statuses worth re-queueing
 RETRYABLE_STATUSES = (429, 500, 502, 503, 504, 509)
 
+# reference myrequests.py:129-133 — requests exception classes retried as
+# connection errors; 'dns' is the name-resolution subset detected by message
+# sniffing at myrequests.py:137-144
+CONN_ERROR_CLASSES = ("connection", "timeout", "chunked_encoding", "dns")
+
+
+def classify_failures(
+    scheduled: DataFrame,
+    results: DataFrame,
+    retry_max_sec: float = 60.0,
+    warn_after: int = 10,
+    give_up_after: int = 100,
+    seen_hosts: DataFrame | None = None,
+) -> DataFrame:
+    """ST-3: categorize fetch outcomes against the reference's retry policy.
+
+    `scheduled`: drained epoch rows (schedule_df output). `results`:
+    (url, status int[, error string]) fetch outcomes — `error` is null for
+    an HTTP response, else one of CONN_ERROR_CLASSES.
+
+    Categories (reference myrequests.py:94-157, re-expressed batchwise —
+    the serial loop's in-process sleep/counter state becomes columns):
+      retry_status   — status in RETRYABLE_STATUSES: wait starts at 2x the
+                       host interval and doubles per attempt, capped at
+                       retry_max_sec (myrequests.py:110-122)
+      retry_conn     — connection/timeout/chunked errors (and DNS on an
+                       already-seen host): the reference sleeps a FLAT
+                       retry_max_sec ("notice the extra-long sleep",
+                       myrequests.py:152) and bumps connect_errors
+      drop_dns_fatal — DNS failure on a host with no successful fetch
+                       history (dns_fatal, myrequests.py:17-20; the intent
+                       is hostname-keyed — the reference passes the full
+                       url, making every DNS error fatal as shipped, a
+                       quirk noted there and resolved here host-keyed)
+      drop_give_up   — connect_errors would exceed give_up_after (the
+                       raise at myrequests.py:146-148)
+      drop           — non-retryable status (404 etc — the give-up path)
+    `warned` mirrors the warning threshold (myrequests.py:149-150).
+
+    `seen_hosts`: (host) rows with successful fetch history — the
+    previously_seen_hostnames analog. None = empty (all DNS fatal).
+
+    Returns one row per failed fetch: (url, priority, discovered_ts,
+    host, category, retries, conn_errors, next_attempt_ts, warned).
+    Successes (status < 400 or unlisted) produce no row.
+    """
+    res = results
+    if "error" not in res.columns:
+        res = res.withColumn("error", F.lit(None).cast("string"))
+    if "conn_errors" not in scheduled.columns:
+        scheduled = scheduled.withColumn("conn_errors", F.lit(0))
+    if "host" not in scheduled.columns:
+        scheduled = scheduled.withColumn("host", host_col("url"))
+    joined = scheduled.join(
+        F.broadcast(res.select("url", "status", "error")), "url"
+    )
+    if seen_hosts is not None:
+        joined = joined.join(
+            F.broadcast(seen_hosts.select("host").distinct().withColumn(
+                "_host_seen", F.lit(True)
+            )),
+            "host",
+            "left",
+        )
+    else:
+        joined = joined.withColumn("_host_seen", F.lit(False))
+
+    is_conn = F.col("error").isin(*CONN_ERROR_CLASSES)
+    dns_fatal = (F.col("error") == "dns") & ~F.coalesce(
+        F.col("_host_seen"), F.lit(False)
+    )
+    new_conn_errors = F.when(
+        is_conn, F.col("conn_errors") + 1
+    ).otherwise(F.col("conn_errors"))
+    status_retryable = F.col("error").isNull() & F.col("status").isin(
+        *RETRYABLE_STATUSES
+    )
+    category = (
+        F.when(dns_fatal, F.lit("drop_dns_fatal"))
+        .when(
+            is_conn & (new_conn_errors > give_up_after), F.lit("drop_give_up")
+        )
+        .when(is_conn, F.lit("retry_conn"))
+        .when(status_retryable, F.lit("retry_status"))
+        .otherwise(F.lit("drop"))
+    )
+    status_backoff = F.least(
+        F.lit(2.0) * F.col("crawl_delay_s") * F.pow(F.lit(2.0), F.col("retries")),
+        F.lit(float(retry_max_sec)),
+    )
+    next_attempt = (
+        F.when(category == "retry_status", F.col("fetch_time") + status_backoff)
+        .when(
+            category == "retry_conn",
+            F.col("fetch_time") + F.lit(float(retry_max_sec)),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    failed = joined.where(
+        F.col("error").isNotNull() | (F.col("status") >= 400)
+        | F.col("status").isin(*RETRYABLE_STATUSES)
+    )
+    return failed.select(
+        "url",
+        "priority",
+        "discovered_ts",
+        "host",
+        category.alias("category"),
+        F.when(category == "retry_status", F.col("retries") + 1)
+        .otherwise(F.col("retries"))
+        .alias("retries"),
+        new_conn_errors.alias("conn_errors"),
+        next_attempt.alias("next_attempt_ts"),
+        (is_conn & (new_conn_errors > warn_after)).alias("warned"),
+    )
+
 
 def requeue_failures(
     scheduled: DataFrame,
     results: DataFrame,
     retry_max_sec: float = 60.0,
+    warn_after: int = 10,
+    give_up_after: int = 100,
+    seen_hosts: DataFrame | None = None,
 ) -> DataFrame:
     """ST-3: turn retryable fetch failures back into frontier candidates.
 
-    `scheduled`: drained epoch rows (schedule_df output). `results`:
-    (url, status int) fetch outcomes. The backoff mirrors the reference's
-    loop (myrequests.py:94-122): the wait starts at 2x the host interval
-    and doubles per attempt, capped at retry_max_sec (60 s) — so a row on
-    its n-th retry becomes attemptable at
-        fetch_time + min(2 * crawl_delay_s * 2^retries, retry_max_sec).
-    Non-retryable failures (e.g. 404) are dropped, like the reference's
-    give-up path. Returns candidate rows (url, priority, discovered_ts,
-    retries, next_attempt_ts) for a later drain_epoch; dedupe() lets them
-    bypass the URL-seen filter.
+    The retry policy (status backoff, flat conn-error wait, DNS-fatal,
+    warn/give-up counters) lives in classify_failures — this keeps only the
+    retry_* categories and shapes them as candidate rows (url, priority,
+    discovered_ts, retries, next_attempt_ts, conn_errors) for a later
+    drain_epoch; dedupe() lets them bypass the URL-seen filter. A URL that
+    exhausts give_up_after connection errors is dropped here and never
+    reappears.
     """
-    joined = scheduled.join(
-        F.broadcast(results.select("url", "status")), "url"
+    classified = classify_failures(
+        scheduled, results, retry_max_sec=retry_max_sec,
+        warn_after=warn_after, give_up_after=give_up_after,
+        seen_hosts=seen_hosts,
     )
-    retryable = joined.where(F.col("status").isin(*RETRYABLE_STATUSES))
-    backoff = F.least(
-        F.lit(2.0) * F.col("crawl_delay_s") * F.pow(F.lit(2.0), F.col("retries")),
-        F.lit(float(retry_max_sec)),
-    )
-    return retryable.select(
-        "url",
-        "priority",
-        "discovered_ts",
-        (F.col("retries") + 1).alias("retries"),
-        (F.col("fetch_time") + backoff).alias("next_attempt_ts"),
+    return classified.where(
+        F.col("category").startswith("retry")
+    ).select(
+        "url", "priority", "discovered_ts", "retries", "next_attempt_ts",
+        "conn_errors",
     )

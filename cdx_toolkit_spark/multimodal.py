@@ -125,7 +125,11 @@ def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
 def synth_media(spark, sf_dir: str) -> DataFrame:
     """Deterministic fake media table derived from documents (payload =
     utf-8 bytes of text) — exercises the binary plumbing end-to-end."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .cdx_view import DOCS_SCHEMA
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

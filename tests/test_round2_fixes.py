@@ -192,7 +192,7 @@ def test_two_phase_commit_recovery(spark, tmp_path, monkeypatch):
     # seen-store updated, CRASH before the manifest line
     real_finish = FrontierDrain._finish_epoch
 
-    def crash(self, rec0):
+    def crash(self, rec0, written=None):
         done = self.schedule_df(rec0["epoch"]).select("urlkey", "url_hash")
         done.write.mode("overwrite").parquet(
             os.path.join(self.workdir, "seen_exact", f"ep_{rec0['epoch']}")

@@ -1,0 +1,125 @@
+"""Round-3 verdict fixes: job-free plan composition for EVERY driver entry
+(VERDICT r2 #4/#7) and the blocked-GEMM kernels' n/dim parameterization."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_every_driver_entry_composes_with_zero_jobs(spark, sf_dir):
+    """Composing any queries() entry must not run a single Spark job —
+    no count()/first() sniffs, no schema-inference footer reads, no
+    crawl-discovery scans. (Execution obviously runs jobs; composition is
+    the lazy plan build the driver does before collect.)"""
+    import __spark_entry__ as E
+
+    sc = spark.sparkContext
+    offenders = {}
+    for name, fn in E.queries().items():
+        group = f"compose-r3-{name}"
+        sc.setJobGroup(group, "plan composition must be free")
+        try:
+            fn(spark, sf_dir)
+            jobs = list(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup(None, None)
+        if jobs:
+            offenders[name] = jobs
+    assert offenders == {}, f"entries running jobs at compose: {offenders}"
+
+
+def test_gemm_kernels_accept_n_dim_params(spark, sf_dir):
+    """n/dim params must produce identical results to the sniffing path."""
+    from cdx_toolkit_spark import dedup, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    a = similarity.brute_force_topk(emb, k=3, n=n).collect()
+    b = similarity.brute_force_topk(emb, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = similarity.lsh_topk(emb, k=3, n_planes=6, dim=64).collect()
+    d = similarity.lsh_topk(emb, k=3, n_planes=6).collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, d))
+    e = dedup.embedding_cosine_pairs(emb, threshold=0.4, n=n).collect()
+    f = dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    assert sorted(map(tuple, e)) == sorted(map(tuple, f))
+
+
+def test_cli_fields_accept_ia_spellings(spark, sf_dir, capsys):
+    """--fields original,statuscode,mimetype == --fields url,status,mime
+    (reference munge_fields normalization applied to projections —
+    VERDICT r2 missing #3)."""
+    from cdx_toolkit_spark import cli
+
+    def run(fields):
+        rc = cli.main(
+            ["--sf-dir", sf_dir, "--from", "2017", "--to", "2017",
+             "--limit", "4", "iter", "example0.com/*", "--csv",
+             "--fields", fields],
+            spark=spark,
+        )
+        assert rc == 0
+        return capsys.readouterr().out.splitlines()
+
+    ia = run("original,statuscode,mimetype")
+    pywb = run("url,status,mime")
+    assert ia == pywb
+    assert ia[0] == "url,status,mime"
+
+
+def test_warcer_warns_on_revisit(spark, sf_dir, tmp_path, caplog):
+    """reference cli.py:274-275: a revisit record being resolved logs a
+    warning with its url + timestamp."""
+    import logging
+
+    from cdx_toolkit_spark import cli
+    from cdx_toolkit_spark.warc import ensure_warc_fixture
+
+    fixture_dir = ensure_warc_fixture(spark, sf_dir)
+    out = str(tmp_path / "warcout")
+    with caplog.at_level(logging.WARNING, logger="cdx_toolkit_spark.cli"):
+        rc = cli.main(
+            ["--sf-dir", sf_dir, "warc", "example0.com/*",
+             "--warc-download-prefix", fixture_dir,
+             "--out-dir", out, "--prefix", "T"],
+            spark=spark,
+        )
+    assert rc == 0
+    warns = [r for r in caplog.records
+             if "revisit record being resolved" in r.message]
+    assert warns, "fixture contains revisit records; warcer must warn"
+
+
+def test_ia_decode_heterogeneous_field_sets(spark):
+    """IA serves whatever fl= asked for, per response: bodies with
+    DIFFERENT header rows (IA spellings vs pywb, missing columns) must
+    decode side by side with nulls for absent fields (VERDICT r2
+    missing #4, ingest.py decode_ia_lol)."""
+    import json
+
+    from cdx_toolkit_spark.ingest import decode_ia_lol
+
+    body_a = json.dumps([
+        ["original", "statuscode", "mimetype", "timestamp"],
+        ["http://a.example.com/x", "200", "text/html", "20170101000000"],
+        ["http://a.example.com/y", "404", "text/html", "20170102000000"],
+    ])
+    body_b = json.dumps([
+        ["urlkey", "url", "digest", "length"],
+        ["com,example,b)/z", "http://b.example.com/z", "AAAA", "123"],
+    ])
+    bodies = spark.createDataFrame([(body_a,), (body_b,)], "body string")
+    rows = {r["url"]: r for r in decode_ia_lol(bodies).collect()}
+    assert len(rows) == 3
+    a = rows["http://a.example.com/x"]
+    assert (a["status"], a["mime"], a["timestamp"]) == (
+        "200", "text/html", "20170101000000"
+    )
+    assert a["urlkey"] is None and a["digest"] is None and a["length"] is None
+    b = rows["http://b.example.com/z"]
+    assert (b["urlkey"], b["digest"], b["length"]) == (
+        "com,example,b)/z", "AAAA", 123
+    )
+    assert b["status"] is None and b["mime"] is None

@@ -87,7 +87,8 @@ def _sched_rows(spark, rows):
     from cdx_toolkit_spark.frontier.metrics import SCHEDULE_SCHEMA
 
     full = [
-        (f"http://{h}/x", f"{h})/x", 0, h, 0, 0, r, 0.0, 1.0, 0, t, int(t // 60), 1, 0)
+        (f"http://{h}/x", f"{h})/x", 0, h, 0, 0, r, 0.0, 0, 1.0, 0, t,
+         int(t // 60), 1, 0)
         for h, t, r in rows
     ]
     return spark.createDataFrame(full, SCHEDULE_SCHEMA)

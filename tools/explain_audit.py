@@ -156,18 +156,19 @@ def main() -> None:
         ],
     )
 
-    # 6c. IVF ANN: centroid assignment must be a BROADCAST nested-loop over
-    #     the nlist rows (map-side, no corpus shuffle for assignment); the
-    #     candidate join is keyed on list_id
+    # 6c. IVF ANN (r3 GEMM layout): the packed centroid blob is BROADCAST
+    #     into every corpus block (map-side assignment, no corpus shuffle);
+    #     per-list scoring groups on list_id only (Arrow-batched GEMM)
     audit(
         "ann_ivf_topk", qs["ann_ivf_topk"](spark, SF_DIR),
         [
-            ("centroids broadcast into assignment",
+            ("centroid blob broadcast into block assignment",
              contains(r"BroadcastNestedLoopJoin")),
             ("no cartesian product", absent(r"CartesianProduct")),
-            ("candidate join keyed on list_id",
-             contains(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
-                      r".{0,200}list_id", re.S)),
+            ("per-list GEMM scoring keyed on list_id only",
+             contains(r"hashpartitioning\(list_id")),
+            ("scoring is Arrow-grouped (no per-row Python)",
+             contains(r"FlatMapGroupsInPandas")),
         ],
     )
 
@@ -190,6 +191,34 @@ def main() -> None:
             ("robots dimension broadcast", contains(r"BroadcastHashJoin")),
             ("no shuffle of the frontier for rule attach",
              absent(r"Exchange hashpartitioning\(host")),
+        ],
+    )
+
+    # 7b. skew-safe rank (r3): exactly ONE exchange of the frontier — the
+    #     range partition. The r2 shape added a second full-table hash
+    #     exchange (host, _pid) for the local-rank window; the rangesorted
+    #     variant derives local ranks from monotonically_increasing_id on
+    #     the sorted partitions, so that exchange must be gone. (The tiny
+    #     per-(host, partition) offsets agg still hash-exchanges its few
+    #     rows — asserted as the count of exchanges ON the checkpointed
+    #     frontier lineage, which Spark renders as a Scan ExistingRDD.)
+    ranked = politeness.assign_fetch_times(
+        politeness.attach_robots(prepare(cands), robots).drop(
+            "next_attempt_ts"
+        ),
+        None,
+        mitigate_skew=True,
+    )
+    audit(
+        "frontier_rank_skew_safe",
+        ranked,
+        [
+            ("no (host, _pid) window exchange of the frontier",
+             absent(r"Exchange hashpartitioning\(host#\d+, _pid")),
+            ("no full-table sort window (local ranks ride the range sort)",
+             absent(r"Window \[row_number")),
+            ("offsets join broadcast back (no frontier re-shuffle)",
+             contains(r"BroadcastHashJoin")),
         ],
     )
 
