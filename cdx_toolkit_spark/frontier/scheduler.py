@@ -64,7 +64,8 @@ def prepare(candidates: DataFrame) -> DataFrame:
 
 def dedupe(frontier: DataFrame, store: BloomShardStore,
            seen_exact: DataFrame | None, split_retries: bool = True,
-           caches: list | None = None) -> DataFrame:
+           caches: list | None = None,
+           extra_seen: DataFrame | None = None) -> DataFrame:
     """Drop already-seen urlkeys and intra-epoch duplicates.
 
     Bloom-negatives are definitely-new (skip the join); bloom-positives get
@@ -84,6 +85,11 @@ def dedupe(frontier: DataFrame, store: BloomShardStore,
     retryably and must be re-attempted. They still dedupe among themselves;
     a NEW discovery of a urlkey that is mid-retry is dropped by the exact
     backstop as usual (it is genuinely already-seen).
+
+    `extra_seen`: urlkeys scheduled by an epoch whose BOOKKEEPING is still
+    in flight (pipelined drain): they are in no bloom version and no
+    committed seen-store yet, so bloom-negatives can include them — this
+    anti-join (applied to the non-retry output only) closes that window.
     """
     def first_per_key(df: DataFrame) -> DataFrame:
         payload = [c for c in df.columns if c != "urlkey"]
@@ -137,6 +143,8 @@ def dedupe(frontier: DataFrame, store: BloomShardStore,
     else:
         confirmed_new = maybe
     out = fresh.unionByName(confirmed_new)
+    if extra_seen is not None:
+        out = out.join(extra_seen.select("urlkey"), "urlkey", "left_anti")
     if has_retry:
         retry_rows = first_per_key(frontier.where(is_retry))
         out = out.unionByName(retry_rows)
@@ -166,9 +174,14 @@ class FrontierDrain:
             spark, os.path.join(workdir, "bloom"), n_shards=n_shards,
             m_bits=m_bits,
         )
-        # pending phase-2 bookkeeping future (overlap_bookkeeping=True)
+        # pending phase-2 bookkeeping future (overlap_bookkeeping=True) and
+        # the pending epoch's in-memory state: its persisted schedule frame
+        # (covers the seen-set window the uncommitted bookkeeping leaves)
+        # and epoch number (the manifest line is written by the background
+        # thread, so epoch numbering can't rely on the manifest alone)
         self._pending = None
         self._pending_pool = None
+        self._last: dict | None = None
 
     # -- lineage -----------------------------------------------------------
 
@@ -178,8 +191,20 @@ class FrontierDrain:
     def epochs(self) -> list[dict]:
         if not os.path.exists(self._manifest_path()):
             return []
+        out = []
         with open(self._manifest_path()) as fd:
-            return [json.loads(line) for line in fd if line.strip()]
+            for line in fd:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    # torn trailing line: the pipelined drain appends the
+                    # manifest from a background thread — a reader may catch
+                    # the final line mid-write; everything before it is
+                    # complete (the writer appends whole lines in order)
+                    break
+        return out
 
     def last_epoch(self) -> int:
         eps = self.epochs()
@@ -190,10 +215,22 @@ class FrontierDrain:
             self.workdir, OUT_DIRNAME, f"ep_{epoch}", "_EPOCH_COMMITTED"
         )
 
-    def _seen_exact(self) -> DataFrame | None:
+    def _seen_exact(self, committed_only: bool = False) -> DataFrame | None:
         # per-epoch subdirs (seen_exact/ep_N) so the seen-store update is an
         # idempotent OVERWRITE — a replayed epoch cannot double-append
         path = os.path.join(self.workdir, SEEN_DIRNAME)
+        if committed_only:
+            # pipelined drain: the pending epoch's seen_exact/ep_N dir may be
+            # mid-write by the background thread — read only MANIFEST-listed
+            # (fully committed) epochs; the pending keys come from the
+            # in-memory frame via dedupe(extra_seen=...)
+            dirs = [
+                os.path.join(path, f"ep_{e['epoch']}") for e in self.epochs()
+            ]
+            dirs = [d for d in dirs if os.path.isdir(d)]
+            if not dirs:
+                return None
+            return self.spark.read.parquet(*dirs)
         try:
             return (
                 self.spark.read.option("recursiveFileLookup", "true")
@@ -231,14 +268,26 @@ class FrontierDrain:
                     overlap_bookkeeping: bool = False) -> dict:
         """One epoch: dedup + schedule + write. Returns the lineage record.
 
-        overlap_bookkeeping=True returns right after the phase-1 commit
-        (schedule durable + marker written) and runs phase 2 — seen-store,
-        bloom delta, host-state, manifest — in a background thread. The
-        NEXT drain_epoch (or flush()) joins it before touching any state it
-        writes, so in a streaming micro-batch loop the ~O(seconds) of
-        bookkeeping overlaps the next batch's dedupe/rank compute instead
-        of sitting on the latency path. The returned record then carries
-        the phase-1 fields only (no bloom_version — read it via flush()).
+        overlap_bookkeeping=True PIPELINES epochs: drain_epoch returns right
+        after the phase-1 commit and runs phase 2 — seen-store, bloom
+        delta, host-state, manifest — in a background thread that the NEXT
+        epoch joins only at the END of its own phase 1. The next epoch's
+        dedupe/rank therefore runs concurrently with this epoch's
+        bookkeeping; correctness holds because the pending epoch's effects
+        are all reconstructed in-process while uncommitted:
+          - its urlkeys: dedupe(extra_seen=<pending schedule frame>) closes
+            the bloom/seen-store window (the probe pins a committed bloom
+            version at compose time, so concurrent bloom appends are never
+            read — version V's files are immutable once written);
+          - its host politeness clock: next_host_state recomputed lazily
+            from the same persisted frame, merged with the last COMMITTED
+            state on disk;
+          - the committed seen-store read lists manifest-listed epoch dirs
+            only (the pending dir may be mid-write).
+        The marker (and its bloom_version_before) is written only AFTER the
+        prior epoch's phase 2 lands, so crash replay applies bloom deltas
+        exactly once, in order. The returned record carries the phase-1
+        fields only (no bloom_version — read it via flush()).
 
         Effectively-once via a TWO-PHASE commit:
           phase 1 — compute + write schedule/ep_N, then write the per-epoch
@@ -254,11 +303,22 @@ class FrontierDrain:
         and phase 2 re-runs idempotently.
         """
         spark = self.spark
-        self.flush()  # phase 2 of a prior overlapped epoch must land first
-        epoch = self.last_epoch() + 1
+        if not overlap_bookkeeping or (
+            self._pending is not None and self._pending.done()
+        ):
+            # join eagerly when not pipelining (or the work already landed)
+            self.flush()
+        pending = self._pending is not None
+        if not pending and self._last is not None:
+            self._last["sched"].unpersist()
+            self._last = None
+        epoch = max(
+            self.last_epoch(), self._last["epoch"] if self._last else 0
+        ) + 1
         marker = self._marker_path(epoch)
         if os.path.exists(marker):
             # phase-1 output committed by a crashed run — finish phase 2
+            self.flush()
             with open(marker) as fd:
                 return self._finish_epoch(json.load(fd))
         robots = robots if robots is not None else spark.createDataFrame(
@@ -279,13 +339,28 @@ class FrontierDrain:
         # extra in-memory copy of the epoch on the latency path
         caches: list = []
         fresh = dedupe(
-            frontier, self.store, self._seen_exact(),
+            frontier, self.store, self._seen_exact(committed_only=pending),
             split_retries=has_backoff, caches=caches,
+            extra_seen=self._last["sched"] if pending else None,
         )
         polite = politeness.attach_robots(fresh, robots)
+        if pending and self._last["epoch"] == epoch - 1:
+            # pending epoch's host-state write may be in flight — rebuild
+            # the same merge lazily from the in-memory frame + the last
+            # COMMITTED state (the background thread's input, unchanged)
+            host_state = politeness.next_host_state(self._last["sched"])
+            prev = self._host_state(epoch - 2)
+            if prev is not None:
+                host_state = (
+                    host_state.unionByName(prev)
+                    .groupBy("host")
+                    .agg(F.max("next_free_time").alias("next_free_time"))
+                )
+        else:
+            host_state = self._host_state(epoch - 1)
         scheduled = politeness.assign_fetch_times(
             polite if has_backoff else polite.drop("next_attempt_ts"),
-            self._host_state(epoch - 1),
+            host_state,
             mitigate_skew=self.mitigate_skew,
         )
         if not has_backoff:
@@ -333,6 +408,15 @@ class FrontierDrain:
         for c in caches:
             c.unpersist()
 
+        # prior epoch's overlapped bookkeeping had this whole phase 1 to
+        # run; it must LAND before this epoch's marker records
+        # bloom_version_before (else crash replay could mistake the prior
+        # delta for this epoch's and skip one bloom add)
+        self.flush()
+        if self._last is not None:
+            self._last["sched"].unpersist()
+            self._last = None
+
         # phase-1 commit: the schedule output is durable; record everything
         # phase 2 needs (incl. the bloom version BEFORE bookkeeping, so a
         # replayed phase 2 can tell whether the bloom delta already applied)
@@ -350,14 +434,16 @@ class FrontierDrain:
         if overlap_bookkeeping:
             from concurrent.futures import ThreadPoolExecutor
 
+            self._last = {"epoch": epoch, "sched": scheduled}
             self._pending_pool = ThreadPoolExecutor(max_workers=1)
             self._pending = self._pending_pool.submit(
-                self._finish_epoch, rec0, scheduled
+                self._finish_epoch, rec0, scheduled, False
             )
             return rec0
         return self._finish_epoch(rec0, scheduled)
 
-    def _finish_epoch(self, rec0: dict, written: DataFrame | None = None) -> dict:
+    def _finish_epoch(self, rec0: dict, written: DataFrame | None = None,
+                      unpersist: bool = True) -> dict:
         """Phase 2: bookkeeping + manifest for a committed epoch output.
 
         Every step is idempotent: seen-store and host-state are per-epoch
@@ -432,7 +518,9 @@ class FrontierDrain:
         }
         with open(self._manifest_path(), "a") as fd:
             fd.write(json.dumps(record) + "\n")
-        if cached:
+        if cached and unpersist:
+            # pipelined callers keep the frame cached (the next epoch's
+            # extra_seen/host-state reads it) and unpersist it themselves
             written.unpersist()
         return record
 

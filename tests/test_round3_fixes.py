@@ -123,3 +123,45 @@ def test_ia_decode_heterogeneous_field_sets(spark):
         "com,example,b)/z", "AAAA", 123
     )
     assert b["status"] is None and b["mime"] is None
+
+
+def test_pipelined_drain_matches_serial(spark, tmp_path):
+    """overlap_bookkeeping=True pipelines epoch N's bookkeeping under epoch
+    N+1's compute; traces, seen set, politeness carryover and bloom version
+    sequence must be identical to the serial drain."""
+    from pyspark.sql import functions as F
+
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
+    from cdx_toolkit_spark.frontier.synth import synth_candidates
+
+    robots = spark.createDataFrame(
+        [("hot-cdn.example.com", 0.5, ["/private"])],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>",
+    )
+    n = 3000
+
+    def run(overlap: bool, wd: str):
+        drain = FrontierDrain(spark, str(tmp_path / wd), n_shards=4,
+                              m_bits=1 << 16)
+        for ep in range(3):
+            cands = synth_candidates(spark, n, offset=ep * n)
+            drain.drain_epoch(cands, robots=robots,
+                              overlap_bookkeeping=overlap)
+        drain.flush()
+        traces = [drain.trace(e + 1) for e in range(3)]
+        return drain, traces
+
+    d_serial, t_serial = run(False, "serial")
+    d_pipe, t_pipe = run(True, "pipe")
+
+    for e in range(3):
+        a = [(t["urlkey"], round(t["fetch_time"], 9), t["batch"])
+             for t in t_serial[e]]
+        b = [(t["urlkey"], round(t["fetch_time"], 9), t["batch"])
+             for t in t_pipe[e]]
+        assert a == b, f"epoch {e+1} trace diverged under pipelining"
+    assert d_serial.seen_set() == d_pipe.seen_set()
+    assert [e["n_scheduled"] for e in d_serial.epochs()] == [
+        e["n_scheduled"] for e in d_pipe.epochs()
+    ]
+    assert [e["bloom_version"] for e in d_pipe.epochs()] == [1, 2, 3]

@@ -28,6 +28,13 @@ def main() -> None:
                     help="bloom bits per shard; size for ~10 bits/key over "
                     "the run's total distinct urlkeys")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--no-overlap", action="store_true",
+        help="disable pipelined bookkeeping (phase 2 of epoch N runs in a "
+        "background thread and is joined by epoch N+1 — the steady-state "
+        "cadence of a streaming drain; the final epoch's bookkeeping is "
+        "flushed INSIDE the timed region either way)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,6 +54,7 @@ def main() -> None:
         "host string, crawl_delay_s double, disallow_prefixes array<string>",
     )
 
+    overlap = not args.no_overlap
     total_scheduled = 0
     epoch_stats = []
     t0 = time.monotonic()
@@ -54,7 +62,9 @@ def main() -> None:
         # each epoch sees a shifted slice so later epochs mix new + seen urls
         cands = synth_candidates(spark, args.n_urls, offset=ep * args.n_urls)
         te = time.monotonic()
-        rec = drain.drain_epoch(cands, robots=robots)
+        rec = drain.drain_epoch(
+            cands, robots=robots, overlap_bookkeeping=overlap
+        )
         esec = time.monotonic() - te
         total_scheduled += rec["n_scheduled"]
         epoch_stats.append(
@@ -65,6 +75,9 @@ def main() -> None:
                 "urls_per_sec": round(rec["n_scheduled"] / esec, 1),
             }
         )
+    # the last epoch's overlapped bookkeeping must land inside the timer —
+    # total wall covers ALL work, pipelined or not
+    drain.flush()
     dt = time.monotonic() - t0
 
     # steady-state = best epoch throughput: later epochs run on a warm JVM
