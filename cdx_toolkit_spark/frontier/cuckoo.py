@@ -1,0 +1,379 @@
+"""Partitioned cuckoo-filter URL-seen store — the delete-exact fallback to
+the counting-bloom shards (north_star: "counting-bloom per shard, cuckoo
+fallback for deletes").
+
+Why a second filter family: counting-bloom counters saturate at 255 and a
+saturated counter is never decremented (bloom.py), so a shard that has
+absorbed a hot cell can no longer account deletes exactly. A cuckoo filter
+stores discrete 16-bit fingerprints in 4-slot buckets, so delete removes
+exactly one stored fingerprint and the structure never saturates — at the
+price of a hard capacity (load factor ~0.95 with 4-way buckets) instead of
+the bloom's graceful fp-rate degradation.
+
+Same shape as BloomShardStore so the two are drop-in interchangeable for
+FrontierDrain: keys are xxhash64 longs sharded by pmod; build/add/remove/
+probe run as cogrouped applyInPandas per shard (one vectorized numpy pass
+per shard per batch); shards are versioned parquet rows (every mutation
+writes v+1 and leaves v intact — the same checkpoint lineage the manifest
+records).
+
+Guarantees:
+- ZERO false negatives, unconditionally: inserts that lose the eviction
+  loop (possible near capacity) land in a per-shard overflow STASH that
+  probe always checks — the filter degrades to exact matching on the
+  overflow tail instead of dropping keys.
+- Deletes are exact for inserted keys: remove() clears exactly one stored
+  fingerprint from the key's buckets (the standard cuckoo caveat applies:
+  removing a key that was never inserted can evict a colliding key's
+  fingerprint — callers delete only what they added, which the drain's
+  manifest lineage guarantees).
+
+Vectorized insert strategy (no per-key Python in the common case): two
+scatter WAVES — every key tries its primary bucket, leftovers try their
+alternate — cover >99% of keys at sane load; only the residue walks the
+sequential eviction loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .bloom import PROBE_SCHEMA, shard_of
+
+SHARD_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("version", LongType()),
+        StructField("n_buckets", LongType()),
+        StructField("slots", IntegerType()),
+        StructField("n_items", LongType()),
+        StructField("table", BinaryType()),
+        StructField("stash", BinaryType()),
+    ]
+)
+
+SLOTS = 4
+MAX_KICKS = 250
+
+
+def _fingerprint(hashes: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprints from the high bits (the bucket index
+    uses the low bits, keeping fp and index nearly independent)."""
+    fp = ((hashes.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(
+        np.uint16
+    )
+    fp[fp == 0] = 9  # 0 marks an empty slot
+    return fp
+
+
+def _index1(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (hashes.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _alt_index(idx: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Partial-key cuckoo: alt = idx XOR hash(fp), mod table size. The
+    XOR-then-mod form is involutive only for power-of-two tables, so
+    n_buckets is always rounded up to a power of two by the store."""
+    h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(
+        n_buckets - 1
+    )
+    return (idx.astype(np.uint64) ^ h).astype(np.int64)
+
+
+def _scatter_wave(table: np.ndarray, idx: np.ndarray, fp: np.ndarray):
+    """Place as many (idx, fp) as fit in free slots of their bucket, fully
+    vectorized: sort by bucket, rank within bucket, match ranks to free
+    slots. Returns the boolean mask of PLACED keys."""
+    if not len(idx):
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(idx, kind="stable")
+    sidx = idx[order]
+    # rank of each key within its bucket group (0,1,2,...)
+    first = np.ones(len(sidx), dtype=bool)
+    first[1:] = sidx[1:] != sidx[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(len(sidx)), 0))
+    rank = np.arange(len(sidx)) - group_start
+    free = table[sidx] == 0  # (n, SLOTS) free-slot mask per key (pre-state)
+    n_free = free.cumsum(axis=1)
+    # key with rank r takes the (r+1)-th free slot of its bucket, if any
+    placed_sorted = rank < free.sum(axis=1)
+    # slot chosen: first column where cumulative free count == rank+1
+    want = (n_free == (rank + 1)[:, None]) & free
+    slot = np.argmax(want, axis=1)
+    ps = np.where(placed_sorted)[0]
+    table[sidx[ps], slot[ps]] = fp[order][ps]
+    placed = np.zeros(len(idx), dtype=bool)
+    placed[order[ps]] = True
+    return placed
+
+
+class CuckooShardStore:
+    """Cuckoo-filter shards persisted as versioned parquet under `path`.
+
+    `capacity` is per shard (keys); the bucket table is sized to the next
+    power of two of capacity / (SLOTS * 0.84) so steady load stays under
+    the ~0.95 4-way threshold with headroom before stash spill."""
+
+    def __init__(self, spark: SparkSession, path: str, n_shards: int = 16,
+                 capacity: int = 1 << 20):
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.path = path
+        self.n_shards = n_shards
+        want = max(16, int(capacity / (SLOTS * 0.84)))
+        self.n_buckets = 1 << (want - 1).bit_length()
+        self._version_cache: int | None = None
+
+    # -- versioning (same protocol as BloomShardStore) ---------------------
+
+    def latest_version(self, refresh: bool = False) -> int:
+        if self._version_cache is not None and not refresh:
+            return self._version_cache
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            if not any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(self.path)
+                for f in fs
+            ):
+                self._version_cache = 0
+            return 0
+        row = df.agg(F.max("version")).first()
+        self._version_cache = int(row[0]) if row[0] is not None else 0
+        return self._version_cache
+
+    def _read_version(self, version: int) -> DataFrame:
+        return self.spark.read.parquet(self.path).where(
+            F.col("version") == version
+        )
+
+    # -- mutation ----------------------------------------------------------
+
+    def build(self, keys: DataFrame, hash_col: str = "url_hash") -> int:
+        return self._apply_delta(keys, hash_col, base_version=0, sign=+1)
+
+    def add(self, keys: DataFrame, hash_col: str = "url_hash") -> int:
+        return self._apply_delta(
+            keys, hash_col, base_version=self.latest_version(), sign=+1
+        )
+
+    def remove(self, keys: DataFrame, hash_col: str = "url_hash") -> int:
+        return self._apply_delta(
+            keys, hash_col, base_version=self.latest_version(), sign=-1
+        )
+
+    def _apply_delta(self, keys: DataFrame, hash_col: str,
+                     base_version: int, sign: int) -> int:
+        n_buckets, n_shards = self.n_buckets, self.n_shards
+        new_version = base_version + 1
+        prev = (
+            self._read_version(base_version).select(
+                "shard", "n_items", "table", "stash"
+            )
+            if base_version > 0
+            else self.spark.createDataFrame(
+                [], "shard int, n_items long, table binary, stash binary"
+            )
+        )
+        delta = keys.select(
+            F.col(hash_col).alias("url_hash"),
+            shard_of(F.col(hash_col), n_shards).alias("shard"),
+        )
+
+        def update(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            shard = int(key[0])
+            if len(right):
+                table = np.frombuffer(
+                    bytes(right["table"].iloc[0]), dtype=np.uint16
+                ).reshape(n_buckets, SLOTS).copy()
+                stash = np.frombuffer(
+                    bytes(right["stash"].iloc[0]), dtype=np.uint16
+                ).copy()
+                n_items = int(right["n_items"].iloc[0])
+            else:
+                table = np.zeros((n_buckets, SLOTS), dtype=np.uint16)
+                stash = np.zeros(0, dtype=np.uint16)
+                n_items = 0
+            if len(left):
+                hashes = left["url_hash"].to_numpy(dtype=np.int64)
+                fp = _fingerprint(hashes)
+                i1 = _index1(hashes, n_buckets)
+                if sign > 0:
+                    stash = _insert(table, stash, i1, fp, n_buckets)
+                    n_items += len(hashes)
+                else:
+                    stash = _delete(table, stash, i1, fp, n_buckets)
+                    n_items = max(0, n_items - len(hashes))
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "version": [new_version],
+                    "n_buckets": [n_buckets],
+                    "slots": [SLOTS],
+                    "n_items": [n_items],
+                    "table": [table.tobytes()],
+                    "stash": [stash.tobytes()],
+                }
+            )
+
+        updated = (
+            delta.groupBy("shard")
+            .cogroup(prev.groupBy("shard"))
+            .applyInPandas(update, SHARD_SCHEMA)
+        )
+        updated.write.mode("append").parquet(self.path)
+        self._version_cache = new_version
+        return new_version
+
+    # -- probe -------------------------------------------------------------
+
+    def probe(self, keys: DataFrame, hash_col: str = "url_hash",
+              version: int | None = None) -> DataFrame:
+        """keys + maybe_seen flag; zero false negatives (stash included)."""
+        version = version if version is not None else self.latest_version()
+        n_buckets, n_shards = self.n_buckets, self.n_shards
+        if version == 0:
+            return keys.withColumn("maybe_seen", F.lit(False))
+        shards = self._read_version(version).select("shard", "table", "stash")
+        cand = keys.select(
+            F.col(hash_col).alias("url_hash"),
+            shard_of(F.col(hash_col), n_shards).alias("shard"),
+        ).distinct()
+
+        def check(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            hashes = left["url_hash"].to_numpy(dtype=np.int64)
+            if not len(hashes):
+                return pd.DataFrame({"url_hash": [], "maybe_seen": []}).astype(
+                    {"url_hash": "int64", "maybe_seen": "int32"}
+                )
+            if not len(right):
+                return pd.DataFrame(
+                    {
+                        "url_hash": hashes,
+                        "maybe_seen": np.zeros(len(hashes), dtype=np.int32),
+                    }
+                )
+            table = np.frombuffer(
+                bytes(right["table"].iloc[0]), dtype=np.uint16
+            ).reshape(n_buckets, SLOTS)
+            stash = np.frombuffer(bytes(right["stash"].iloc[0]), dtype=np.uint16)
+            fp = _fingerprint(hashes)
+            i1 = _index1(hashes, n_buckets)
+            i2 = _alt_index(i1, fp, n_buckets)
+            seen = (table[i1] == fp[:, None]).any(axis=1) | (
+                table[i2] == fp[:, None]
+            ).any(axis=1)
+            if len(stash):
+                seen |= np.isin(fp, stash)
+            return pd.DataFrame(
+                {"url_hash": hashes, "maybe_seen": seen.astype(np.int32)}
+            )
+
+        flags = (
+            cand.groupBy("shard")
+            .cogroup(shards.groupBy("shard"))
+            .applyInPandas(check, PROBE_SCHEMA)
+            .withColumn("maybe_seen", F.col("maybe_seen") == 1)
+        )
+        joined = keys.join(
+            F.broadcast(flags.withColumnRenamed("url_hash", "__uh")),
+            keys[hash_col] == F.col("__uh"),
+            "left",
+        )
+        return joined.select(
+            *[keys[c] for c in keys.columns],
+            F.coalesce("maybe_seen", F.lit(False)).alias("maybe_seen"),
+        )
+
+    def destroy(self):
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+        self._version_cache = None
+
+
+# -- per-shard numpy kernels (module-level so tests can hit them directly) --
+
+def _insert(table: np.ndarray, stash: np.ndarray, i1: np.ndarray,
+            fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Two vectorized scatter waves, then a sequential eviction loop for
+    the residue; overflow goes to the stash (probe checks it — the no-
+    false-negative guarantee never depends on the eviction loop)."""
+    placed = _scatter_wave(table, i1, fp)
+    rem = ~placed
+    if rem.any():
+        i2 = _alt_index(i1[rem], fp[rem], n_buckets)
+        placed2 = _scatter_wave(table, i2, fp[rem])
+        rem_idx = np.where(rem)[0][~placed2]
+    else:
+        rem_idx = np.zeros(0, dtype=np.int64)
+    overflow = []
+    rng = np.random.default_rng(12345)  # deterministic kick choices
+    for j in rem_idx:
+        cur_fp = fp[j]
+        idx = int(i1[j])
+        ok = False
+        for _ in range(MAX_KICKS):
+            row = table[idx]
+            free = np.where(row == 0)[0]
+            if len(free):
+                row[free[0]] = cur_fp
+                ok = True
+                break
+            # evict a random resident, move it to its alternate bucket
+            victim = int(rng.integers(0, SLOTS))
+            cur_fp, row[victim] = row[victim], cur_fp
+            idx = int(
+                _alt_index(
+                    np.array([idx]), np.array([cur_fp], dtype=np.uint16),
+                    n_buckets,
+                )[0]
+            )
+        if not ok:
+            overflow.append(cur_fp)
+    if overflow:
+        stash = np.concatenate([stash, np.array(overflow, dtype=np.uint16)])
+    return stash
+
+
+def _delete(table: np.ndarray, stash: np.ndarray, i1: np.ndarray,
+            fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Remove exactly one stored fingerprint per key (bucket 1, else
+    bucket 2, else stash). Sequential per key: two keys may legally target
+    the same slot, so scatter-style clearing could double-delete."""
+    i2 = _alt_index(i1, fp, n_buckets)
+    stash_list = None
+    for j in range(len(fp)):
+        row = table[i1[j]]
+        hit = np.where(row == fp[j])[0]
+        if len(hit):
+            row[hit[0]] = 0
+            continue
+        row = table[i2[j]]
+        hit = np.where(row == fp[j])[0]
+        if len(hit):
+            row[hit[0]] = 0
+            continue
+        if stash_list is None:
+            stash_list = list(stash)
+        if fp[j] in stash_list:
+            stash_list.remove(fp[j])
+    if stash_list is not None:
+        stash = np.array(stash_list, dtype=np.uint16)
+    return stash

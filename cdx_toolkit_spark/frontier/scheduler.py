@@ -164,13 +164,17 @@ class FrontierDrain:
 
     def __init__(self, spark: SparkSession, workdir: str,
                  batch_window: float = 60.0, n_shards: int = 8,
-                 m_bits: int = 1 << 18, mitigate_skew: bool = True):
+                 m_bits: int = 1 << 18, mitigate_skew: bool = True,
+                 store=None):
         self.spark = spark
         self.workdir = workdir
         self.batch_window = batch_window
         self.mitigate_skew = mitigate_skew
         os.makedirs(workdir, exist_ok=True)
-        self.store = BloomShardStore(
+        # the URL-seen filter store is pluggable: counting-bloom shards by
+        # default; CuckooShardStore (same protocol) where exact delete
+        # accounting matters (north_star's cuckoo fallback)
+        self.store = store if store is not None else BloomShardStore(
             spark, os.path.join(workdir, "bloom"), n_shards=n_shards,
             m_bits=m_bits,
         )
@@ -265,7 +269,8 @@ class FrontierDrain:
 
     def drain_epoch(self, candidates: DataFrame,
                     robots: DataFrame | None = None,
-                    overlap_bookkeeping: bool = False) -> dict:
+                    overlap_bookkeeping: bool = False,
+                    batch_key=None) -> dict:
         """One epoch: dedup + schedule + write. Returns the lineage record.
 
         overlap_bookkeeping=True PIPELINES epochs: drain_epoch returns right
@@ -317,10 +322,21 @@ class FrontierDrain:
         ) + 1
         marker = self._marker_path(epoch)
         if os.path.exists(marker):
-            # phase-1 output committed by a crashed run — finish phase 2
+            # phase-1 output committed by a crashed run. Same batch
+            # replaying (batch_key matches, or caller tracks no keys):
+            # resume — keep the committed output, never re-drain it. A
+            # DIFFERENT batch arriving (streaming: the offset log committed
+            # the crashed batch, so its successor shows up instead): finish
+            # the crashed epoch's bookkeeping, then drain these candidates
+            # as the NEXT epoch.
             self.flush()
             with open(marker) as fd:
-                return self._finish_epoch(json.load(fd))
+                rec0 = json.load(fd)
+            if batch_key is None or rec0.get("batch_key") == batch_key:
+                return self._finish_epoch(rec0)
+            self._finish_epoch(rec0)
+            epoch += 1
+            marker = self._marker_path(epoch)
         robots = robots if robots is not None else spark.createDataFrame(
             [], "host string, crawl_delay_s double, disallow_prefixes array<string>"
         )
@@ -427,6 +443,8 @@ class FrontierDrain:
             "batch_window": self.batch_window,
             "out_path": out_path,
         }
+        if batch_key is not None:
+            rec0["batch_key"] = batch_key
         tmp = marker + ".tmp"
         with open(tmp, "w") as fd:
             fd.write(json.dumps(rec0))

@@ -42,11 +42,20 @@ def drain_stream(
     robots=None,
     checkpoint_dir: str | None = None,
     max_files_per_batch: int = 8,
+    overlap: bool = False,
 ):
     """Start an AvailableNow micro-batch drain over candidate parquet files.
 
     Returns the StreamingQuery; callers .awaitTermination() it. Restarting
     with the same checkpoint_dir resumes from the last committed batch.
+
+    overlap=True pipelines each micro-batch's bookkeeping under the next
+    batch's compute (scheduler.drain_epoch overlap_bookkeeping): the batch
+    id rides the epoch marker so a post-crash restart can tell a REPLAYED
+    batch (resume, keep output) from its successor (finish the crashed
+    epoch's bookkeeping, then drain as the next epoch). The LAST batch's
+    bookkeeping is still pending when the query terminates — call
+    drain.flush() after awaitTermination().
     """
     checkpoint_dir = checkpoint_dir or os.path.join(drain.workdir, "_checkpoint")
     source = (
@@ -59,7 +68,10 @@ def drain_stream(
         # foreachBatch gives at-least-once; drain_epoch's two-phase commit
         # (marker before any global-state mutation, committed epochs resumed
         # not re-drained) makes the composition effectively-once.
-        drain.drain_epoch(batch_df, robots=robots)
+        drain.drain_epoch(
+            batch_df, robots=robots, overlap_bookkeeping=overlap,
+            batch_key=f"stream-{batch_id}" if overlap else None,
+        )
 
     return (
         source.writeStream.foreachBatch(process)

@@ -1,0 +1,180 @@
+"""Cuckoo-filter shard store: kernel properties (pure numpy), the
+no-false-negative guarantee under Spark, exact deletes, version lineage,
+and a full FrontierDrain epoch run with the store swapped in."""
+
+import numpy as np
+import pytest
+
+from cdx_toolkit_spark.frontier.cuckoo import (
+    MAX_KICKS,
+    SLOTS,
+    CuckooShardStore,
+    _alt_index,
+    _delete,
+    _fingerprint,
+    _index1,
+    _insert,
+    _scatter_wave,
+)
+
+
+# ---------------------------------------------------------------------------
+# numpy kernel properties (no Spark)
+# ---------------------------------------------------------------------------
+
+def _keys(n, seed=7):
+    return np.random.default_rng(seed).integers(
+        -(2**62), 2**62, size=n, dtype=np.int64
+    )
+
+
+def test_alt_index_is_involutive():
+    nb = 1 << 12
+    h = _keys(5000)
+    fp = _fingerprint(h)
+    i1 = _index1(h, nb)
+    i2 = _alt_index(i1, fp, nb)
+    back = _alt_index(i2, fp, nb)
+    assert (back == i1).all()
+    assert (i2 >= 0).all() and (i2 < nb).all()
+
+
+def test_scatter_wave_places_into_free_slots_only():
+    nb = 64
+    table = np.zeros((nb, SLOTS), dtype=np.uint16)
+    # 6 keys into the same bucket: only SLOTS fit in one wave
+    idx = np.zeros(6, dtype=np.int64)
+    fp = np.arange(1, 7, dtype=np.uint16)
+    placed = _scatter_wave(table, idx, fp)
+    assert placed.sum() == SLOTS
+    assert sorted(table[0][table[0] != 0]) == list(fp[placed])
+
+
+def test_insert_lookup_no_false_negatives_at_high_load():
+    nb = 1 << 10  # 4096 slots
+    table = np.zeros((nb, SLOTS), dtype=np.uint16)
+    stash = np.zeros(0, dtype=np.uint16)
+    h = _keys(int(nb * SLOTS * 0.9))  # 90% load — kicks + maybe stash
+    fp = _fingerprint(h)
+    i1 = _index1(h, nb)
+    stash = _insert(table, stash, i1, fp, nb)
+    i2 = _alt_index(i1, fp, nb)
+    found = (table[i1] == fp[:, None]).any(axis=1) | (
+        table[i2] == fp[:, None]
+    ).any(axis=1)
+    if len(stash):
+        found |= np.isin(fp, stash)
+    assert found.all(), "cuckoo filter must never lose an inserted key"
+
+
+def test_delete_removes_exactly_one_copy():
+    nb = 1 << 8
+    table = np.zeros((nb, SLOTS), dtype=np.uint16)
+    stash = np.zeros(0, dtype=np.uint16)
+    h = _keys(200)
+    fp = _fingerprint(h)
+    i1 = _index1(h, nb)
+    stash = _insert(table, stash, i1, fp, nb)
+    occupied_before = int((table != 0).sum()) + len(stash)
+    stash = _delete(table, stash, i1[:50], fp[:50], nb)
+    occupied_after = int((table != 0).sum()) + len(stash)
+    assert occupied_before - occupied_after == 50
+    # the untouched keys still probe positive
+    i2 = _alt_index(i1[50:], fp[50:], nb)
+    found = (table[i1[50:]] == fp[50:, None]).any(axis=1) | (
+        table[i2] == fp[50:, None]
+    ).any(axis=1)
+    if len(stash):
+        found |= np.isin(fp[50:], stash)
+    assert found.all()
+
+
+# ---------------------------------------------------------------------------
+# Spark store behavior
+# ---------------------------------------------------------------------------
+
+def _hash_df(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+
+
+def test_store_build_probe_versions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = CuckooShardStore(
+        spark, str(tmp_path / "ck"), n_shards=4, capacity=1 << 12
+    )
+    assert store.latest_version() == 0
+    a = _hash_df(spark, 0, 3000)
+    v1 = store.build(a, "url_hash")
+    assert v1 == 1
+    # zero false negatives
+    flagged = store.probe(a, "url_hash")
+    assert flagged.where(~F.col("maybe_seen")).count() == 0
+    # fp rate on fresh keys is bounded (16-bit fp, 2 buckets x 4 slots:
+    # ~8/2^16 per key plus stash tail; allow a loose 2%)
+    fresh = _hash_df(spark, 100_000, 110_000)
+    fp_rate = store.probe(fresh, "url_hash").where(
+        F.col("maybe_seen")
+    ).count() / 10_000
+    assert fp_rate < 0.02
+    # add writes v2 and leaves v1 intact (version lineage)
+    b = _hash_df(spark, 3000, 6000)
+    v2 = store.add(b, "url_hash")
+    assert v2 == 2
+    old = store.probe(b, "url_hash", version=1)
+    new = store.probe(b, "url_hash", version=2)
+    assert new.where(~F.col("maybe_seen")).count() == 0
+    assert old.where(F.col("maybe_seen")).count() < 3000  # v1 unchanged
+
+
+def test_store_exact_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = CuckooShardStore(
+        spark, str(tmp_path / "ckd"), n_shards=2, capacity=1 << 10
+    )
+    a = _hash_df(spark, 0, 500)
+    b = _hash_df(spark, 500, 1000)
+    store.build(a.unionByName(b), "url_hash")
+    store.remove(b, "url_hash")
+    # removed keys gone (up to fp collisions with remaining keys), kept
+    # keys all still present
+    assert store.probe(a, "url_hash").where(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    gone = store.probe(b, "url_hash").where(F.col("maybe_seen")).count()
+    assert gone < 25  # only residual fp collisions against a's 500 keys
+
+
+def test_frontier_drain_with_cuckoo_store(spark, tmp_path):
+    """The drain runs unchanged with the cuckoo store swapped in: same
+    two-epoch dedup semantics as the bloom-backed drain."""
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
+
+    wd = str(tmp_path / "wd")
+    store = CuckooShardStore(
+        spark, str(tmp_path / "wd_ck"), n_shards=2, capacity=1 << 12
+    )
+    drain = FrontierDrain(spark, wd, n_shards=2, store=store)
+    seeds = [
+        (f"https://h{i % 5}.com/p/{i}", i % 3, 1000 + i) for i in range(120)
+    ]
+    cand = spark.createDataFrame(
+        seeds, "url string, priority int, discovered_ts long"
+    )
+    rec1 = drain.drain_epoch(cand)
+    assert rec1["n_scheduled"] == 120 and rec1["bloom_version"] == 1
+    # epoch 2: all dups + 10 new
+    seeds2 = seeds[:60] + [
+        (f"https://h9.com/new/{i}", 0, 2000 + i) for i in range(10)
+    ]
+    cand2 = spark.createDataFrame(
+        seeds2, "url string, priority int, discovered_ts long"
+    )
+    rec2 = drain.drain_epoch(cand2)
+    assert rec2["n_scheduled"] == 10
+    assert len(drain.seen_set()) == 130

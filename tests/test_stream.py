@@ -139,3 +139,35 @@ def test_watermarked_rate_metrics(spark, tmp_path):
     # t=700's window is still open at stream end -> not emitted
     assert ("00:11:00", "b.com") not in out
     assert len(out) == 4  # exactly-once per closed (host, window)
+
+
+def test_stream_drain_overlap_parity(spark, dirs):
+    """overlap=True (pipelined bookkeeping across micro-batches) produces
+    the identical seen set + schedule as the serial streaming drain."""
+    cand_dir, workdir = dirs
+    batches = [_seeds(0, 50), _seeds(30, 80), _seeds(60, 120)]
+    for i, b in enumerate(batches):
+        _write_batch(spark, cand_dir, f"b{i}", b)
+
+    drain = FrontierDrain(spark, workdir, batch_window=30.0, n_shards=4,
+                          m_bits=1 << 14)
+    q = drain_stream(spark, cand_dir + "/*", drain, overlap=True,
+                     max_files_per_batch=1)
+    q.awaitTermination()
+    drain.flush()  # last batch's bookkeeping is pending by design
+
+    # serial reference over the same three batches with carryover
+    seen = set()
+    host_free = {}
+    total = 0
+    for b in batches:
+        ref, seen = run_reference_schedule(
+            b, seen=seen, batch_window=30.0, host_next_free=host_free
+        )
+        for t in ref:
+            host_free[t["host"]] = max(
+                host_free.get(t["host"], 0.0), t["fetch_time"] + 3.0
+            )
+        total += len(ref)
+    assert drain.seen_set() == seen
+    assert sum(e["n_scheduled"] for e in drain.epochs()) == total
