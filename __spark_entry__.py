@@ -320,6 +320,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.synth_media(s, d), every_s=1.0
         ).select("media_id", "frame_offset_s"),
         # --- generic relational breadth (events + star schema) ---------------
+        # --- frontier math under the value-hash oracle ---------------------
+        # ST-2 core: the exchange-free skew-safe rank + token-bucket fetch
+        # times, derived deterministically from `documents` so DuckDB can
+        # rebuild the identical schedule in SQL (politeness.host_rank /
+        # assign_fetch_times; candidate set keeps (priority, discovered_ts)
+        # unique per host so the urlkey tiebreak never fires and the oracle
+        # needs no SURT)
+        "politeness_schedule": lambda s, d: _politeness_schedule(s, d),
+        # ST-3 policy: classify_failures over a derived outcomes table —
+        # status backoff doubling, flat conn-error wait, DNS-fatal on
+        # unseen hosts, warn/give-up counters (scheduler.classify_failures)
+        "retry_classify": lambda s, d: _retry_classify(s, d),
         "events_daily_counts": lambda s, d: _read(s, d, "events")
         .groupBy(
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -346,6 +358,171 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "customer"),
         ),
     }
+
+
+def _politeness_schedule(s: SparkSession, d: str) -> DataFrame:
+    """Deterministic candidate frontier from `documents` (40% of rows on
+    one hot host — the .com skew) through the skew-mitigated rank +
+    fetch-time assignment. No robots rules => every host gets the default
+    3.0 s crawl delay (politeness.DEFAULT_CRAWL_DELAY_S), which the oracle
+    hardcodes."""
+    from cdx_toolkit_spark.frontier import politeness
+    from cdx_toolkit_spark.frontier.scheduler import prepare
+
+    docs = _docs(s, d)
+    host = F.when(
+        F.col("doc_id") % 5 < 2, F.lit("hot.example.com")
+    ).otherwise(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org"),
+        )
+    )
+    cand = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit(0).alias("priority"),
+        F.col("doc_id").alias("discovered_ts"),
+    )
+    robots = s.createDataFrame(
+        [], "host string, crawl_delay_s double, disallow_prefixes array<string>"
+    )
+    polite = politeness.attach_robots(prepare(cand), robots)
+    sched = politeness.assign_fetch_times(
+        polite.drop("next_attempt_ts"), None, mitigate_skew=True
+    )
+    return sched.select(
+        "url",
+        "host",
+        F.col("host_rank").cast("int").alias("host_rank"),
+        F.round("fetch_time", 6).alias("fetch_time"),
+        F.floor(F.col("fetch_time") / 60.0).cast("int").alias("batch"),
+    )
+
+
+def _politeness_schedule_oracle() -> str:
+    return (
+        "WITH c AS (SELECT doc_id,\n"
+        "  CASE WHEN doc_id % 5 < 2 THEN 'hot.example.com'\n"
+        "    ELSE 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' END"
+        "  AS host\n"
+        "  FROM documents),\n"
+        "r AS (SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR)"
+        "  AS url, host,\n"
+        "  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1"
+        "    AS INT) AS host_rank\n"
+        "  FROM c)\n"
+        "SELECT url, host, host_rank,\n"
+        # CAST: DuckDB parses the 3.0 literal as DECIMAL and would return
+        # DECIMAL fetch_times that hash differently from Spark doubles
+        "  CAST(round(host_rank * 3.0, 6) AS DOUBLE) AS fetch_time,\n"
+        "  CAST(floor(host_rank * 3.0 / 60.0) AS INT) AS batch\n"
+        "FROM r"
+    )
+
+
+def _retry_classify(s: SparkSession, d: str) -> DataFrame:
+    """Deterministic fetch-outcome table from `documents` spanning every
+    retry category (retryable statuses, hard 404s, connection/timeout/
+    chunked errors, DNS on seen and unseen hosts, counters at the warn and
+    give-up thresholds), classified by scheduler.classify_failures."""
+    from cdx_toolkit_spark.frontier.scheduler import classify_failures
+
+    docs = _docs(s, d)
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 23).cast("string"), F.lit(".example.net")
+    )
+    sched = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        (F.col("doc_id") % 3).cast("int").alias("priority"),
+        (F.lit(1000) + F.col("doc_id")).alias("discovered_ts"),
+        (F.col("doc_id") % 4).cast("int").alias("retries"),
+        F.lit(0.0).alias("next_attempt_ts"),
+        (F.col("doc_id") % 120).cast("int").alias("conn_errors"),
+        (F.lit(1.0) + (F.col("doc_id") % 5)).alias("crawl_delay_s"),
+        (F.col("doc_id") * 1.5).alias("fetch_time"),
+    )
+    status = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(503))
+        .when(F.col("doc_id") % 7 == 1, F.lit(429))
+        .when(F.col("doc_id") % 7 == 2, F.lit(404))
+        .when(F.col("doc_id") % 7 == 3, F.lit(200))
+        .otherwise(F.lit(0))
+    )
+    error = (
+        F.when(F.col("doc_id") % 7 == 4, F.lit("connection"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("timeout"))
+        .when(F.col("doc_id") % 7 == 6, F.lit("dns"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    results = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        status.alias("status"),
+        error.alias("error"),
+    )
+    seen_hosts = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.net"),
+        ).alias("host")
+    ).where(F.col("doc_id") % 23 < 8).distinct()
+    out = classify_failures(sched, results, seen_hosts=seen_hosts)
+    return out.select(
+        "url", "host", "category", "retries", "conn_errors",
+        F.round("next_attempt_ts", 6).alias("next_attempt_ts"), "warned",
+    )
+
+
+def _retry_classify_oracle() -> str:
+    return (
+        "WITH s AS (SELECT doc_id,\n"
+        "  'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.net' AS host,\n"
+        "  CAST(doc_id % 4 AS INT) AS retries,\n"
+        "  CAST(doc_id % 120 AS INT) AS conn_errors0,\n"
+        "  CAST(1.0 + (doc_id % 5) AS DOUBLE) AS crawl_delay_s,\n"
+        "  CAST(doc_id * 1.5 AS DOUBLE) AS fetch_time,\n"
+        "  CASE doc_id % 7 WHEN 0 THEN 503 WHEN 1 THEN 429 WHEN 2 THEN 404"
+        "    WHEN 3 THEN 200 ELSE 0 END AS status,\n"
+        "  CASE doc_id % 7 WHEN 4 THEN 'connection' WHEN 5 THEN 'timeout'"
+        "    WHEN 6 THEN 'dns' ELSE NULL END AS error\n"
+        "  FROM documents),\n"
+        "t AS (SELECT *,\n"
+        "  'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,\n"
+        "  (error IS NOT NULL) AS is_conn,\n"
+        "  (error = 'dns' AND doc_id % 23 >= 8) AS dns_fatal,\n"
+        "  CASE WHEN error IS NOT NULL THEN conn_errors0 + 1"
+        "    ELSE conn_errors0 END AS conn_errors,\n"
+        "  (error IS NULL AND status IN (429,500,502,503,504,509))"
+        "    AS retryable\n"
+        "  FROM s),\n"
+        "c AS (SELECT *,\n"
+        "  CASE WHEN dns_fatal THEN 'drop_dns_fatal'\n"
+        "    WHEN is_conn AND conn_errors > 100 THEN 'drop_give_up'\n"
+        "    WHEN is_conn THEN 'retry_conn'\n"
+        "    WHEN retryable THEN 'retry_status'\n"
+        "    ELSE 'drop' END AS category\n"
+        "  FROM t WHERE error IS NOT NULL OR status >= 400"
+        "    OR status IN (429,500,502,503,504,509))\n"
+        "SELECT url, host, category,\n"
+        "  CASE WHEN category = 'retry_status' THEN retries + 1"
+        "    ELSE retries END AS retries,\n"
+        "  conn_errors,\n"
+        "  CAST(round(CASE WHEN category = 'retry_status' THEN fetch_time +"
+        "    least(2.0 * crawl_delay_s * power(2.0, retries), 60.0)\n"
+        "    WHEN category = 'retry_conn' THEN fetch_time + 60.0"
+        "    ELSE NULL END, 6) AS DOUBLE) AS next_attempt_ts,\n"
+        "  (is_conn AND conn_errors > 10) AS warned\n"
+        "FROM c"
+    )
 
 
 def _warc_ingest(s: SparkSession, d: str) -> DataFrame:
@@ -962,6 +1139,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT urlkey, \"timestamp\", url, status, mime, digest, length "
             "FROM cdx"
         ),
+        "politeness_schedule": _politeness_schedule_oracle(),
+        "retry_classify": _retry_classify_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_oracle(k=5, n_planes=10, seed=42, dim=64),

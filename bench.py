@@ -42,6 +42,7 @@ def synth_candidates(spark, n: int):
 
 
 def bench_frontier(spark, n_urls: int) -> tuple[float, int]:
+    """The r1/r2-comparable config: ONE cold epoch, serial bookkeeping."""
     from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
 
     workdir = tempfile.mkdtemp(prefix="bench_frontier_")
@@ -59,6 +60,37 @@ def bench_frontier(spark, n_urls: int) -> tuple[float, int]:
         rec = drain.drain_epoch(cands, robots=robots)
         dt = time.monotonic() - t0
         return dt, rec["n_scheduled"]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def bench_frontier_pipelined(spark, n_urls: int) -> tuple[float, int]:
+    """Steady-state config: THREE epochs of the same size with bookkeeping
+    pipelined under the next epoch's compute (the streaming cadence); the
+    final flush is inside the timed region, so total wall covers all work."""
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
+
+    workdir = tempfile.mkdtemp(prefix="bench_frontier_p_")
+    try:
+        drain = FrontierDrain(
+            spark, workdir, batch_window=60.0, n_shards=CPUS,
+            m_bits=1 << 22, mitigate_skew=True,
+        )
+        robots = spark.createDataFrame(
+            [("hot-cdn.example.com", 0.01, ["/private"])],
+            "host string, crawl_delay_s double, disallow_prefixes array<string>",
+        )
+        total = 0
+        t0 = time.monotonic()
+        for ep in range(3):
+            cands = synth_candidates(spark, n_urls, offset=ep * n_urls)
+            rec = drain.drain_epoch(
+                cands, robots=robots, overlap_bookkeeping=True
+            )
+            total += rec["n_scheduled"]
+        drain.flush()
+        dt = time.monotonic() - t0
+        return dt, total
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -89,6 +121,8 @@ def main() -> None:
         "events_daily_counts",
         "warc_ingest",
         "pywb_jsonl_decode",
+        "politeness_schedule",
+        "retry_classify",
     ]
 
     def force(df) -> None:
@@ -110,9 +144,16 @@ def main() -> None:
 
     sf = sf_of(SF_DIR)
     n_urls = max(int(5_000_000 * sf), 10_000)
+    # frontier_drain: the SAME single-cold-epoch 500k config r1/r2 recorded
     dt, n_scheduled = bench_frontier(spark, n_urls)
     times["frontier_drain"] = round(dt, 3)
     urls_per_sec = n_scheduled / dt if dt > 0 else 0.0
+    # frontier_pipelined_3ep: 3 same-size epochs, bookkeeping overlapped —
+    # the streaming steady state (NOT comparable to frontier_drain: 3x the
+    # input and a warm second/third epoch by design)
+    dtp, n_p = bench_frontier_pipelined(spark, n_urls)
+    times["frontier_pipelined_3ep"] = round(dtp, 3)
+    steady_ups = n_p / dtp if dtp > 0 else 0.0
 
     total = round(sum(times.values()), 3)
     print(
@@ -127,6 +168,9 @@ def main() -> None:
                 "frontier_urls_in": n_urls,
                 "frontier_urls_scheduled": n_scheduled,
                 "frontier_urls_per_sec": round(urls_per_sec, 1),
+                "frontier_pipelined_urls_in": 3 * n_urls,
+                "frontier_pipelined_urls_scheduled": n_p,
+                "frontier_pipelined_urls_per_sec": round(steady_ups, 1),
             }
         )
     )

@@ -669,7 +669,11 @@ def classify_failures(
     else:
         joined = joined.withColumn("_host_seen", F.lit(False))
 
-    is_conn = F.col("error").isin(*CONN_ERROR_CLASSES)
+    # null-safe: isin() is NULL (not false) for a NULL error, which would
+    # leak NULL into `warned` on status-only failure rows
+    is_conn = F.coalesce(
+        F.col("error").isin(*CONN_ERROR_CLASSES), F.lit(False)
+    )
     dns_fatal = (F.col("error") == "dns") & ~F.coalesce(
         F.col("_host_seen"), F.lit(False)
     )
