@@ -35,10 +35,10 @@ def sf_of(path: str) -> float:
         return 0.1
 
 
-def synth_candidates(spark, n: int):
+def synth_candidates(spark, n: int, offset: int = 0):
     from cdx_toolkit_spark.frontier.synth import synth_candidates as _sc
 
-    return _sc(spark, n)
+    return _sc(spark, n, offset=offset)
 
 
 def bench_frontier(spark, n_urls: int) -> tuple[float, int]:

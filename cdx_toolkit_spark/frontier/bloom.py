@@ -242,8 +242,13 @@ class BloomShardStore:
             .applyInPandas(check, PROBE_SCHEMA)
             .withColumn("maybe_seen", F.col("maybe_seen") == 1)
         )
+        # NO broadcast hint: the flag set is EPOCH-sized (one row per
+        # distinct candidate hash). AQE picks broadcast when the epoch is
+        # small enough and a shuffled join when it is not — a forced
+        # broadcast of a 10^8-candidate epoch would collect the whole flag
+        # frame to the driver (the r2 code did exactly that)
         joined = keys.join(
-            F.broadcast(flags.withColumnRenamed("url_hash", "__uh")),
+            flags.withColumnRenamed("url_hash", "__uh"),
             keys[hash_col] == F.col("__uh"),
             "left",
         )

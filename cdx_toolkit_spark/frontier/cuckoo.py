@@ -290,8 +290,10 @@ class CuckooShardStore:
             .applyInPandas(check, PROBE_SCHEMA)
             .withColumn("maybe_seen", F.col("maybe_seen") == 1)
         )
+        # no broadcast hint — epoch-sized flag set; AQE chooses (see
+        # BloomShardStore.probe)
         joined = keys.join(
-            F.broadcast(flags.withColumnRenamed("url_hash", "__uh")),
+            flags.withColumnRenamed("url_hash", "__uh"),
             keys[hash_col] == F.col("__uh"),
             "left",
         )

@@ -169,7 +169,9 @@ def host_rank(frontier: DataFrame, mitigate_skew: bool = False,
         )
         keep.append("_prev_gate")
     out = (
-        local.join(F.broadcast(offsets.select(*keep)), ["host", "_pid"])
+        # no broadcast hint — same active-host-bounded size argument as the
+        # rangesorted variant's stats join (AQE chooses)
+        local.join(offsets.select(*keep), ["host", "_pid"])
         .withColumn("host_rank", (F.col("_lr") + F.col("_offset")).cast("int"))
     )
     if with_gate:
@@ -229,9 +231,13 @@ def _host_rank_rangesorted(frontier: DataFrame, order: list,
         )
         .fillna({"_offset": 0})
     )
+    # no broadcast hint: the stats frame holds >= one row per ACTIVE host,
+    # which is epoch-bounded but can reach many millions at web scale — AQE
+    # broadcasts when the runtime size fits and falls back to a shuffled
+    # join instead of an OOM when it doesn't
     return (
         ranged.join(
-            F.broadcast(stats.select("host", "_pid", "_mmin", "_offset")),
+            stats.select("host", "_pid", "_mmin", "_offset"),
             ["host", "_pid"],
         )
         .withColumn(
@@ -261,7 +267,10 @@ def assign_fetch_times(
         frontier, mitigate_skew=mitigate_skew, with_gate=with_gate
     )
     if host_state is not None:
-        ranked = ranked.join(F.broadcast(host_state), "host", "left")
+        # no broadcast hint: host_state holds every host the crawl has ever
+        # scheduled — epoch 1 fits in a broadcast, month 6 may not (AQE
+        # decides from the runtime size)
+        ranked = ranked.join(host_state, "host", "left")
         base = F.coalesce(F.col("next_free_time"), F.lit(0.0))
     else:
         base = F.lit(0.0)

@@ -655,14 +655,15 @@ def classify_failures(
         scheduled = scheduled.withColumn("conn_errors", F.lit(0))
     if "host" not in scheduled.columns:
         scheduled = scheduled.withColumn("host", host_col("url"))
-    joined = scheduled.join(
-        F.broadcast(res.select("url", "status", "error")), "url"
-    )
+    # no broadcast hints: `results` is epoch-sized (one row per fetched
+    # URL) and `seen_hosts` grows with the crawl's host universe — AQE
+    # broadcasts either side when its runtime size fits
+    joined = scheduled.join(res.select("url", "status", "error"), "url")
     if seen_hosts is not None:
         joined = joined.join(
-            F.broadcast(seen_hosts.select("host").distinct().withColumn(
+            seen_hosts.select("host").distinct().withColumn(
                 "_host_seen", F.lit(True)
-            )),
+            ),
             "host",
             "left",
         )

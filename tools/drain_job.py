@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--m-bits", type=int, default=1 << 22,
                     help="bloom bits per shard; size for ~10 bits/key over "
                     "the run's total distinct urlkeys")
+    ap.add_argument("--seen-store", choices=("bloom", "cuckoo"),
+                    default="bloom",
+                    help="URL-seen filter family: counting-bloom shards "
+                    "(default) or the delete-exact cuckoo-filter shards")
+    ap.add_argument("--cuckoo-capacity", type=int, default=1 << 21,
+                    help="per-shard key capacity for --seen-store cuckoo")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
         "--no-overlap", action="store_true",
@@ -45,9 +51,20 @@ def main() -> None:
     from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
     from cdx_toolkit_spark.frontier.synth import synth_candidates
 
+    store = None
+    if args.seen_store == "cuckoo":
+        import os
+
+        from cdx_toolkit_spark.frontier.cuckoo import CuckooShardStore
+
+        store = CuckooShardStore(
+            spark, os.path.join(args.workdir, "cuckoo"),
+            n_shards=args.n_shards, capacity=args.cuckoo_capacity,
+        )
     drain = FrontierDrain(
         spark, args.workdir, batch_window=args.batch_window,
         n_shards=args.n_shards, m_bits=args.m_bits, mitigate_skew=True,
+        store=store,
     )
     robots = spark.createDataFrame(
         [("hot-cdn.example.com", 0.01, ["/private"])],

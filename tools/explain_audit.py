@@ -209,6 +209,12 @@ def main() -> None:
         None,
         mitigate_skew=True,
     )
+    # execute through the frame's OWN QueryExecution (collect — a write
+    # command would plan a fresh one) so the ADAPTIVE plan is final: the
+    # offsets join carries no broadcast hint (the stats side is active-
+    # host-bounded, potentially huge at web scale) — the assertion is that
+    # AQE picks the broadcast at THIS scale from runtime sizes
+    ranked.collect()
     audit(
         "frontier_rank_skew_safe",
         ranked,
@@ -217,7 +223,7 @@ def main() -> None:
              absent(r"Exchange hashpartitioning\(host#\d+, _pid")),
             ("no full-table sort window (local ranks ride the range sort)",
              absent(r"Window \[row_number")),
-            ("offsets join broadcast back (no frontier re-shuffle)",
+            ("AQE broadcasts the offsets join at this scale (unhinted)",
              contains(r"BroadcastHashJoin")),
         ],
     )
