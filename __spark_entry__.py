@@ -306,8 +306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- S-8: wayback replay reconstruction --------------------------------
         "wb_reconstruct": lambda s, d: _wb_reconstruct(s, d),
         # --- wire-format decode (S-4 pywb JSONL, S-5 IA list-of-lists) --------
+        # decode from a MATERIALIZED wire fixture (the deployment shape —
+        # response bodies land on storage before decoding); a fused
+        # decode(encode(view)) would benchmark Catalyst's expression
+        # duplication, not the decoder (see ensure_pywb_wire_fixture)
         "pywb_jsonl_decode": lambda s, d: ingest.decode_pywb_jsonl(
-            ingest.encode_pywb_jsonl(cdx_captures(s, d))
+            ingest.read_pywb_wire(s, ingest.ensure_pywb_wire_fixture(s, d))
         ),
         "ia_lol_decode": lambda s, d: ingest.decode_ia_lol(
             ingest.encode_ia_lol(cdx_captures(s, d), pages=4)

@@ -132,9 +132,14 @@ def main() -> None:
     # pre-build the WARC fixture so warc_ingest times the INGEST, not the
     # one-time fixture write
     force(qs["iter_window_filter"](spark, SF_DIR))
+    from cdx_toolkit_spark.ingest import ensure_pywb_wire_fixture
     from cdx_toolkit_spark.warc import ensure_warc_fixture
 
     ensure_warc_fixture(spark, SF_DIR)
+    ensure_pywb_wire_fixture(spark, SF_DIR)
+    # the skew-safe rank pays one-time codegen + checkpoint machinery on
+    # its first execution — warm it like the rest of the JVM paths
+    force(qs["politeness_schedule"](spark, SF_DIR))
 
     times: dict[str, float] = {}
     for name in headline:

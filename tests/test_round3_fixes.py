@@ -14,6 +14,13 @@ def test_every_driver_entry_composes_with_zero_jobs(spark, sf_dir):
     crawl-discovery scans. (Execution obviously runs jobs; composition is
     the lazy plan build the driver does before collect.)"""
     import __spark_entry__ as E
+    from cdx_toolkit_spark.ingest import ensure_pywb_wire_fixture
+    from cdx_toolkit_spark.warc import ensure_warc_fixture
+
+    # one-time fixture builds are SETUP, not composition — run them before
+    # probing (idempotent: they short-circuit on the published marker)
+    ensure_warc_fixture(spark, sf_dir)
+    ensure_pywb_wire_fixture(spark, sf_dir)
 
     # politeness_schedule composes through the skew-safe rank, whose
     # localCheckpoint pins the range boundaries + partition ids the moment
