@@ -93,7 +93,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
-    block_rows: int = 4096,
+    block_rows: int | None = None,
     n: int | None = None,
     n_queries: int | None = None,
 ) -> DataFrame:
@@ -125,8 +125,30 @@ def brute_force_topk(
         if n_queries is not None
         else (n_base if queries is None else qdf.count())
     )
-    bb = max(1, -(-n_base // block_rows))
-    qb = max(1, -(-n_q // block_rows))
+    # block_rows=None (the default) sizes the grid automatically: cap rows
+    # per block at 4096 AND floor the block count so a small corpus still
+    # yields ~shuffle_partitions grid cells (5000 rows would otherwise make
+    # a 2x2 grid — 4 GEMM tasks on 32 cores). An explicit block_rows is
+    # honored exactly (tests pin single-block determinism that way).
+    if block_rows is None:
+        import math
+
+        grid_min = int(
+            math.ceil(
+                math.sqrt(
+                    float(
+                        embeddings.sparkSession.conf.get(
+                            "spark.sql.shuffle.partitions", "32"
+                        )
+                    )
+                )
+            )
+        )
+        bb = max(1, -(-n_base // 4096), min(grid_min, n_base))
+        qb = max(1, -(-n_q // 4096), min(grid_min, n_q))
+    else:
+        bb = max(1, -(-n_base // block_rows))
+        qb = max(1, -(-n_q // block_rows))
     base_blocks = _pack_blocks(embeddings, id_col, vec_col, bb).select(
         F.col("ids").alias("n_ids"), F.col("mat").alias("n_mat"),
         F.col("n").alias("n_n"), F.col("dim").alias("dim"),
