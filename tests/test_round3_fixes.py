@@ -181,3 +181,62 @@ def test_pipelined_drain_matches_serial(spark, tmp_path):
         e["n_scheduled"] for e in d_pipe.epochs()
     ]
     assert [e["bloom_version"] for e in d_pipe.epochs()] == [1, 2, 3]
+
+
+def test_batch_key_distinguishes_replay_from_successor(spark, tmp_path):
+    """Crash after phase-1 marker, before bookkeeping: a REPLAYED batch
+    (same batch_key) resumes the epoch without re-draining; a SUCCESSOR
+    batch (different key — the streaming offset log committed the crashed
+    batch) finishes the crashed epoch's bookkeeping first, then drains
+    itself as the next epoch."""
+    import pytest as _pytest
+
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
+
+    wd = str(tmp_path / "wd")
+
+    def cands(urls):
+        return spark.createDataFrame(
+            [(u, 0, 1000) for u in urls],
+            "url string, priority int, discovered_ts long",
+        )
+
+    b1 = [f"http://h{i}.com/a" for i in range(8)]
+    b2 = [f"http://h{i}.com/b" for i in range(8)]
+
+    # crash epoch 1 between marker and bookkeeping
+    drain = FrontierDrain(spark, wd, n_shards=2)
+    real_finish = FrontierDrain._finish_epoch
+
+    def crash(self, rec0, written=None, unpersist=True):
+        raise RuntimeError("boom")
+
+    FrontierDrain._finish_epoch = crash
+    try:
+        with _pytest.raises(RuntimeError, match="boom"):
+            drain.drain_epoch(cands(b1), batch_key="batch-1")
+    finally:
+        FrontierDrain._finish_epoch = real_finish
+    assert drain.last_epoch() == 0  # manifest never written
+
+    # same key on a fresh instance -> resume epoch 1, keep its output
+    d2 = FrontierDrain(spark, wd, n_shards=2)
+    rec = d2.drain_epoch(cands(b1), batch_key="batch-1")
+    assert rec["epoch"] == 1 and rec["n_scheduled"] == len(b1)
+    assert d2.last_epoch() == 1
+
+    # crash epoch 2 the same way, then deliver the SUCCESSOR batch
+    FrontierDrain._finish_epoch = crash
+    try:
+        with _pytest.raises(RuntimeError, match="boom"):
+            d2.drain_epoch(cands(b2), batch_key="batch-2")
+    finally:
+        FrontierDrain._finish_epoch = real_finish
+    b3 = [f"http://h{i}.com/c" for i in range(5)] + b1[:2]  # 2 dups
+    d3 = FrontierDrain(spark, wd, n_shards=2)
+    rec3 = d3.drain_epoch(cands(b3), batch_key="batch-3")
+    # epoch 2 (crashed) was finished for us; b3 drained as epoch 3 with
+    # the seen set including BOTH prior epochs
+    assert rec3["epoch"] == 3 and rec3["n_scheduled"] == 5
+    assert d3.last_epoch() == 3
+    assert len(d3.seen_set()) == len(b1) + len(b2) + 5
