@@ -286,6 +286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .where(F.col("quality") >= 0.3)
         )(_docs(s, d)),
+        # composed near-dedup pipeline: banded-LSH candidates verified by
+        # exact n-gram Jaccard, greedy drop-the-larger-id of each verified
+        # pair (the standard single-pass approximation of duplicate-cluster
+        # collapse — SQL-expressible, unlike union-find), then the quality
+        # gate — ONE declarative plan spanning three operator families
+        "pipeline_near_dedup": lambda s, d: _pipeline_near_dedup(s, d),
         # --- similarity search ----------------------------------------------
         "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), k=5, n=_pq_rows(f"{d}/embeddings.parquet"),
@@ -362,6 +368,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "customer"),
         ),
     }
+
+
+def _pipeline_near_dedup(s: SparkSession, d: str) -> DataFrame:
+    """LSH candidates ∩ exact-Jaccard-verified pairs -> drop doc_b (the
+    larger id), keep survivors passing the quality gate. Returns
+    (doc_id, n_tokens, quality)."""
+    docs = _docs(s, d)
+    cand = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, n=3, portable=True
+    )
+    ver = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold_num=8, threshold_den=10, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    drop = (
+        cand.join(ver, ["doc_a", "doc_b"])
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept.select(
+        "doc_id",
+        textkit.token_count_col("text"),
+        textkit.quality_score_col("text"),
+    ).where(F.col("quality") >= 0.3)
+
+
+def _pipeline_near_dedup_oracle() -> str:
+    return (
+        "WITH cand AS (SELECT doc_a, doc_b FROM "
+        f"({_minhash_lsh_oracle(num_hashes=64, bands=16)})),\n"
+        "ver AS (SELECT doc_a, doc_b FROM "
+        f"({_ngram_jaccard_oracle()})),\n"
+        "dropped AS (SELECT DISTINCT v.doc_b AS doc_id\n"
+        "  FROM cand c JOIN ver v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),\n"
+        "kept AS (SELECT d.doc_id, d.text FROM documents d\n"
+        "  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)),\n"
+        "t AS (SELECT doc_id,\n"
+        "  CASE WHEN trim(text) = '' THEN 0"
+        "    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,\n"
+        "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        "    x -> list_contains(['the','a','of','and','to'], x))) AS sw\n"
+        "  FROM kept)\n"
+        "SELECT doc_id, nt AS n_tokens,\n"
+        "  round(0.5 * least(1.0, nt / 64.0) + 0.5 * least(1.0,"
+        "    4.0 * (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE) / nt"
+        "           ELSE 0.0 END)), 6) AS quality\n"
+        "FROM t WHERE round(0.5 * least(1.0, nt / 64.0) + 0.5 * least(1.0,"
+        "    4.0 * (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE) / nt"
+        "           ELSE 0.0 END)), 6) >= 0.3"
+    )
 
 
 def _politeness_schedule(s: SparkSession, d: str) -> DataFrame:
@@ -730,6 +786,26 @@ def _wb_reconstruct_oracle() -> str:
     )
 
 
+def _ngram_jaccard_oracle() -> str:
+    """DuckDB twin of dedup.ngram_jaccard_pairs(n=3, 8/10, max_doc_freq=100)
+    — shared by the standalone entry and the near-dedup pipeline oracle."""
+    return (
+        "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws"
+        "  FROM documents),\n"
+        "sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s\n"
+        "  FROM w, unnest(generate_series(1, len(ws)-2)) AS g(i) WHERE len(ws) >= 3),\n"
+        "sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (\n"
+        "  SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100)),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter\n"
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)\n"
+        "SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union\n"
+        "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
+        "JOIN sizes sb ON doc_b = sb.doc_id\n"
+        "WHERE 10 * n_inter >= 8 * (sa.n + sb.n - n_inter)"
+    )
+
+
 def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs(portable=True): identical
     shingling, one md5-derived 32-bit hash per shingle + the affine rehash
@@ -1000,21 +1076,7 @@ def oracle_sql() -> dict[str, str]:
             "AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies "
             "FROM documents GROUP BY 1"
         ),
-        "dedup_ngram_jaccard": (
-            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws"
-            "  FROM documents),\n"
-            "sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s\n"
-            "  FROM w, unnest(generate_series(1, len(ws)-2)) AS g(i) WHERE len(ws) >= 3),\n"
-            "sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (\n"
-            "  SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100)),\n"
-            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter\n"
-            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)\n"
-            "SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union\n"
-            "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
-            "JOIN sizes sb ON doc_b = sb.doc_id\n"
-            "WHERE 10 * n_inter >= 8 * (sa.n + sb.n - n_inter)"
-        ),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_embedding_cosine": (
             "WITH e AS (SELECT vec_id,"
             "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
@@ -1143,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT urlkey, \"timestamp\", url, status, mime, digest, length "
             "FROM cdx"
         ),
+        "pipeline_near_dedup": _pipeline_near_dedup_oracle(),
         "politeness_schedule": _politeness_schedule_oracle(),
         "retry_classify": _retry_classify_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),

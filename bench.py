@@ -117,6 +117,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "pipeline_clean_corpus",
+        "pipeline_near_dedup",
         "text_stats",
         "events_daily_counts",
         "warc_ingest",
