@@ -378,14 +378,12 @@ def _pipeline_near_dedup(s: SparkSession, d: str) -> DataFrame:
     cand = dedup.minhash_lsh_pairs(
         docs, num_hashes=64, bands=16, n=3, portable=True
     )
-    ver = dedup.ngram_jaccard_pairs(
-        docs, n=3, threshold_num=8, threshold_den=10, max_doc_freq=100
-    ).select("doc_a", "doc_b")
-    drop = (
-        cand.join(ver, ["doc_a", "doc_b"])
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    # verify ONLY the candidates (dedup.verify_jaccard_pairs) — work scales
+    # with |candidates|, not the full co-shingled pair space
+    ver = dedup.verify_jaccard_pairs(
+        docs, cand, n=3, threshold_num=8, threshold_den=10, max_doc_freq=100
     )
+    drop = ver.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = docs.join(drop, "doc_id", "left_anti")
     return kept.select(
         "doc_id",

@@ -175,6 +175,69 @@ def ngram_jaccard_pairs(
     return out
 
 
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of a CANDIDATE pair set — the
+    companion to minhash_lsh_pairs. Where ngram_jaccard_pairs builds the
+    full inverted-index self-join (every co-shingled pair), this computes
+    intersections ONLY for the supplied (doc_a, doc_b) rows: two keyed
+    joins of the exploded shingle table against the candidate edges, so
+    the work scales with |candidates| x shingles-per-doc instead of the
+    co-occurrence pair space. Same integer-arithmetic threshold and
+    max_doc_freq cap semantics (the doc-frequency cap stays GLOBAL, so a
+    verified candidate's Jaccard equals what ngram_jaccard_pairs would
+    report for the same pair). Returns verified (doc_a, doc_b).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ngram_shingles_col(n, text_col)).alias("shingle"),
+    ).where(F.col("shingle") != "")
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    edges = pairs.select("doc_a", "doc_b")
+    a_sh = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        edges.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"),
+                         F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"),
+                         F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_inter") * threshold_den
+            >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * threshold_num
+        )
+        .select("doc_a", "doc_b")
+    )
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,
