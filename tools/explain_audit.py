@@ -172,6 +172,19 @@ def main() -> None:
         ],
     )
 
+    # 6d. composed near-dedup pipeline: every join keyed (no cartesian),
+    #     the shingle-table aggregations partial before their shuffles
+    audit(
+        "pipeline_near_dedup", qs["pipeline_near_dedup"](spark, SF_DIR),
+        [
+            ("no cartesian product", absent(r"CartesianProduct")),
+            ("no broadcast nested loop (all joins keyed)",
+             absent(r"BroadcastNestedLoopJoin")),
+            ("partial aggregation before the signature shuffle",
+             contains(r"HashAggregate")),
+        ],
+    )
+
     # 7. frontier politeness: robots joined via broadcast
     from cdx_toolkit_spark.frontier import politeness
     from cdx_toolkit_spark.frontier.scheduler import prepare
