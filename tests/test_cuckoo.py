@@ -178,3 +178,68 @@ def test_frontier_drain_with_cuckoo_store(spark, tmp_path):
     rec2 = drain.drain_epoch(cand2)
     assert rec2["n_scheduled"] == 10
     assert len(drain.seen_set()) == 130
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary insert/delete interleavings never lose a live key
+# ---------------------------------------------------------------------------
+
+def test_random_op_sequences_never_lose_live_keys():
+    """Arbitrary insert/delete interleavings: a live (inserted, never
+    deleted) key may probe negative ONLY via the standard cuckoo delete
+    caveat — some deleted key shared its 16-bit fingerprint (a removable
+    collision); any other miss is a real bug."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_ops=st.integers(1, 8),
+        nb_bits=st.integers(6, 9),
+    )
+    def run(seed, n_ops, nb_bits):
+        nb = 1 << nb_bits
+        rng = np.random.default_rng(seed)
+        table = np.zeros((nb, SLOTS), dtype=np.uint16)
+        stash = np.zeros(0, dtype=np.uint16)
+        live = np.zeros(0, dtype=np.int64)
+        deleted_fps: set = set()
+        for _ in range(n_ops):
+            if len(live) and rng.random() < 0.4:
+                # delete a random live subset
+                k = int(rng.integers(1, len(live) + 1))
+                idx = rng.choice(len(live), size=k, replace=False)
+                victims = live[idx]
+                fp = _fingerprint(victims)
+                deleted_fps.update(int(x) for x in fp)
+                stash = _delete(table, stash, _index1(victims, nb), fp, nb)
+                live = np.delete(live, idx)
+            else:
+                batch = rng.integers(
+                    -(2**62), 2**62,
+                    size=int(rng.integers(1, nb * SLOTS // 4)),
+                    dtype=np.int64,
+                )
+                fp = _fingerprint(batch)
+                stash = _insert(table, stash, _index1(batch, nb), fp, nb)
+                live = np.concatenate([live, batch])
+            if len(live):
+                fp = _fingerprint(live)
+                i1 = _index1(live, nb)
+                i2 = _alt_index(i1, fp, nb)
+                found = (table[i1] == fp[:, None]).any(axis=1) | (
+                    table[i2] == fp[:, None]
+                ).any(axis=1)
+                if len(stash):
+                    found |= np.isin(fp, stash)
+                missing = ~found
+                unexplained = [
+                    int(f) for f in fp[missing] if int(f) not in deleted_fps
+                ]
+                assert not unexplained, (
+                    f"live keys lost without a colliding delete: "
+                    f"{unexplained[:5]}"
+                )
+
+    run()
