@@ -22,8 +22,9 @@ Layout:
   ingest      — pywb JSONL / IA list-of-lists wire decoders (+ encoders)
   render      — kv/csv/jsonl renders + wayback replay reconstruction kernels
   cli         — the `cdxt iter|warc|size` command-line shim
-  frontier/   — URL-seen bloom shards, politeness + retry/backoff, priority
-                drain (two-phase epoch commit), streaming drain + rate metrics
+  frontier/   — URL-seen bloom + cuckoo shards, politeness + error-class
+                retry/backoff, priority drain (two-phase epoch commit with
+                pipelined bookkeeping), streaming drain + rate metrics
 """
 
 __version__ = "0.1.0"
