@@ -322,6 +322,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ia_lol_decode": lambda s, d: ingest.decode_ia_lol(
             ingest.encode_ia_lol(cdx_captures(s, d), pages=4)
         ),
+        # input_hint per-row invariant under the value-hash oracle: the
+        # pages table (url, warc_ts, html binary, text, lang) with text
+        # re-extracted from html by the real Arrow kernel
+        # (textkit.text_from_html_udf, utf-8 errors='replace'). The
+        # oracle rebuilds the expected text CLOSED-FORM: each deterministic
+        # byte garnish decodes to a FIXED string (invalid bytes -> fixed
+        # runs of U+FFFD), so DuckDB hash-checks byte-identical extraction
+        # without needing a replace-mode decoder.
+        "pages_extract": lambda s, d: _pages_extract(s, d),
         # --- multimodal plumbing ---------------------------------------------
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(s, d)
@@ -368,6 +377,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(s, d, "customer"),
         ),
     }
+
+
+def _pages_extract(s: SparkSession, d: str) -> DataFrame:
+    from cdx_toolkit_spark.pages import synth_pages
+
+    return synth_pages(s, d).select(
+        "doc_id",
+        "url",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+def _pages_extract_oracle() -> str:
+    # garnish classes (pages._GARNISH) decode to fixed strings under
+    # utf-8/replace: class 2 (b'\xff\xfe\xfa') -> three U+FFFD, class 3
+    # (truncated b'\xe2\x82') -> one U+FFFD; doc_id % 50 == 0 rows have
+    # EMPTY html (the revisit analogue) -> empty text
+    return (
+        "WITH t AS (SELECT doc_id,\n"
+        "  CASE WHEN doc_id % 50 = 0 THEN ''\n"
+        "    ELSE text || CASE doc_id % 4 WHEN 0 THEN ''"
+        " WHEN 1 THEN '±µ€漢字'"
+        " WHEN 2 THEN '���' ELSE '�' END END AS txt\n"
+        "  FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END"
+        " || 'example' || CAST(doc_id % 25 AS VARCHAR) || '.com/doc/'"
+        " || CAST(doc_id AS VARCHAR) AS url,\n"
+        "  md5(txt) AS text_md5,\n"
+        "  length(txt) AS n_chars_text\n"
+        "FROM t"
+    )
 
 
 def _pipeline_near_dedup(s: SparkSession, d: str) -> DataFrame:
@@ -1203,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT urlkey, \"timestamp\", url, status, mime, digest, length "
             "FROM cdx"
         ),
+        "pages_extract": _pages_extract_oracle(),
         "pipeline_near_dedup": _pipeline_near_dedup_oracle(),
         "politeness_schedule": _politeness_schedule_oracle(),
         "retry_classify": _retry_classify_oracle(),

@@ -33,7 +33,11 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .shipping import ensure_shipped
 
     ensure_shipped(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .cdx_view import DOCS_SCHEMA
+
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    )
     url = F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
