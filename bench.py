@@ -64,10 +64,20 @@ def bench_frontier(spark, n_urls: int) -> tuple[float, int]:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def bench_frontier_pipelined(spark, n_urls: int) -> tuple[float, int]:
-    """Steady-state config: THREE epochs of the same size with bookkeeping
-    pipelined under the next epoch's compute (the streaming cadence); the
-    final flush is inside the timed region, so total wall covers all work."""
+def _bench_robots(spark):
+    return spark.createDataFrame(
+        [("hot-cdn.example.com", 0.01, ["/private"])],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>",
+    )
+
+
+def bench_frontier_epochs(spark, n_urls: int, overlap: bool) -> tuple[float, int]:
+    """THREE epochs of the same size. overlap=True pipelines each epoch's
+    bookkeeping under the next epoch's compute (the streaming cadence);
+    overlap=False is the serial control with the IDENTICAL input — run
+    back-to-back so BENCH records the on/off delta under the same VM noise
+    (VERDICT r3 #1). The final flush is inside the timed region either way,
+    so total wall covers all work."""
     from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
 
     workdir = tempfile.mkdtemp(prefix="bench_frontier_p_")
@@ -76,21 +86,54 @@ def bench_frontier_pipelined(spark, n_urls: int) -> tuple[float, int]:
             spark, workdir, batch_window=60.0, n_shards=CPUS,
             m_bits=1 << 22, mitigate_skew=True,
         )
-        robots = spark.createDataFrame(
-            [("hot-cdn.example.com", 0.01, ["/private"])],
-            "host string, crawl_delay_s double, disallow_prefixes array<string>",
-        )
+        robots = _bench_robots(spark)
         total = 0
         t0 = time.monotonic()
         for ep in range(3):
             cands = synth_candidates(spark, n_urls, offset=ep * n_urls)
             rec = drain.drain_epoch(
-                cands, robots=robots, overlap_bookkeeping=True
+                cands, robots=robots, overlap_bookkeeping=overlap
             )
             total += rec["n_scheduled"]
         drain.flush()
         dt = time.monotonic() - t0
         return dt, total
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def bench_frontier_stream(spark, n_urls: int) -> tuple[float, int, list[float]]:
+    """ST-1 streaming cadence (VERDICT r3 #6): an AvailableNow readStream
+    over 6 candidate parquet files, maxFilesPerTrigger=2 => 3 micro-batches
+    through the same epoch pipeline with bookkeeping overlapped; per-batch
+    wall comes from the query's own progress log (triggerExecution)."""
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
+    from cdx_toolkit_spark.frontier.stream import drain_stream
+
+    workdir = tempfile.mkdtemp(prefix="bench_frontier_s_")
+    try:
+        cand_dir = os.path.join(workdir, "cands")
+        synth_candidates(spark, n_urls).repartition(6).write.parquet(cand_dir)
+        drain = FrontierDrain(
+            spark, os.path.join(workdir, "wd"), batch_window=60.0,
+            n_shards=CPUS, m_bits=1 << 22, mitigate_skew=True,
+        )
+        robots = _bench_robots(spark)
+        t0 = time.monotonic()
+        q = drain_stream(
+            spark, cand_dir, drain, robots=robots,
+            max_files_per_batch=2, overlap=True,
+        )
+        q.awaitTermination()
+        drain.flush()
+        dt = time.monotonic() - t0
+        batch_walls = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 3)
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        n_sched = sum(int(e.get("n_scheduled", 0)) for e in drain.epochs())
+        return dt, n_sched, batch_walls
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -112,6 +155,7 @@ def main() -> None:
         "urlseen_antijoin",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_minhash_lsh_prod",
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
@@ -154,12 +198,17 @@ def main() -> None:
     dt, n_scheduled = bench_frontier(spark, n_urls)
     times["frontier_drain"] = round(dt, 3)
     urls_per_sec = n_scheduled / dt if dt > 0 else 0.0
-    # frontier_pipelined_3ep: 3 same-size epochs, bookkeeping overlapped —
-    # the streaming steady state (NOT comparable to frontier_drain: 3x the
-    # input and a warm second/third epoch by design)
-    dtp, n_p = bench_frontier_pipelined(spark, n_urls)
+    # The pipelining A/B (VERDICT r3 #1): serial control first, then the
+    # overlapped variant, back-to-back on the identical 3x input so the
+    # on/off delta is recorded under the same VM noise window
+    dts, n_s = bench_frontier_epochs(spark, n_urls, overlap=False)
+    times["frontier_serial_3ep"] = round(dts, 3)
+    dtp, n_p = bench_frontier_epochs(spark, n_urls, overlap=True)
     times["frontier_pipelined_3ep"] = round(dtp, 3)
     steady_ups = n_p / dtp if dtp > 0 else 0.0
+    # streaming cadence (ST-1): AvailableNow micro-batches, per-batch wall
+    dtq, n_q, batch_walls = bench_frontier_stream(spark, n_urls)
+    times["frontier_stream_availnow"] = round(dtq, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -174,9 +223,20 @@ def main() -> None:
                 "frontier_urls_in": n_urls,
                 "frontier_urls_scheduled": n_scheduled,
                 "frontier_urls_per_sec": round(urls_per_sec, 1),
+                "frontier_serial_urls_in": 3 * n_urls,
+                "frontier_serial_urls_scheduled": n_s,
+                "frontier_serial_urls_per_sec": round(
+                    n_s / dts if dts > 0 else 0.0, 1
+                ),
                 "frontier_pipelined_urls_in": 3 * n_urls,
                 "frontier_pipelined_urls_scheduled": n_p,
                 "frontier_pipelined_urls_per_sec": round(steady_ups, 1),
+                "frontier_stream_urls_in": n_urls,
+                "frontier_stream_urls_scheduled": n_q,
+                "frontier_stream_urls_per_sec": round(
+                    n_q / dtq if dtq > 0 else 0.0, 1
+                ),
+                "frontier_stream_batch_walls_sec": batch_walls,
             }
         )
     )

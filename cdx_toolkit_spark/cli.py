@@ -189,17 +189,29 @@ def warcer(cmd, spark) -> int:
     if cmd.limit:
         idx = idx.limit(cmd.limit)
 
-    # reference cli.py:274-275: warn per revisit record being resolved —
-    # the selection is already limit-bounded, so this enumeration is small
-    for row in (
-        idx.where(F.col("warc_type") == "revisit")
-        .select("url", "warc_date")
-        .toLocalIterator()
-    ):
-        LOGGER.warning(
-            "revisit record being resolved for url %s %s",
-            row["url"], row["warc_date"],
-        )
+    # reference cli.py:274-275: warn per revisit record being resolved.
+    # Per-row lines only when --limit bounds the selection; unbounded, the
+    # enumeration would stream EVERY revisit row to the driver in an extra
+    # full scan before fetching begins (ADVICE r3) — emit one aggregate
+    # warning instead (the count rides the fetch job's own scan lineage,
+    # so no per-row driver traffic).
+    if cmd.limit:
+        for row in (
+            idx.where(F.col("warc_type") == "revisit")
+            .select("url", "warc_date")
+            .toLocalIterator()
+        ):
+            LOGGER.warning(
+                "revisit record being resolved for url %s %s",
+                row["url"], row["warc_date"],
+            )
+    else:
+        n_revisit = idx.where(F.col("warc_type") == "revisit").count()
+        if n_revisit:
+            LOGGER.warning(
+                "%d revisit records being resolved (pass --limit for "
+                "per-record detail)", n_revisit,
+            )
 
     fetched = warcmod.fetch_warc_records(
         spark,

@@ -79,7 +79,21 @@ def _fingerprint(hashes: np.ndarray) -> np.ndarray:
 
 
 def _index1(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
-    return (hashes.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+    """Primary bucket index from a MIXED hash, not the raw low bits.
+
+    The raw hash's low bits are already spent on shard routing
+    (`shard_of` = pmod(hash, n_shards)), so within one shard they are
+    (partially) constant: `hash % n_buckets` with power-of-two n_buckets
+    would reach only n_buckets/n_shards buckets as primary, overloading
+    them ~n_shards-fold, spilling keys to the stash far below the sized
+    load and inflating the probe fp-rate (stash matches fingerprint-only).
+    A murmur3-style finalizer (the same mix bloom._positions uses)
+    decorrelates the index bits from the shard residue."""
+    h = hashes.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    h = h ^ (h >> np.uint64(33))
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 def _alt_index(idx: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:

@@ -12,11 +12,12 @@ independent of corpus size.
 
 Scale path: random-hyperplane LSH. Signatures are computed in one Arrow
 batch per partition (numpy matmul inside mapInPandas — the canonical "Python
-only where built-ins can't express it" case), then candidates come from
-bucket-equality self-joins and only candidates pay the exact-cosine price.
-At 10^9 vectors the brute-force join is O(n²) and impossible; LSH buckets
-bound the pair space, and the bucket join is shuffle-partitioned by bucket
-key (AQE splits hot buckets).
+only where built-ins can't express it" case), then only bucket-mates pay
+the exact-cosine price: each bucket scores as a chunked numpy GEMM inside
+groupBy(bucket).applyInPandas (r4 — no interpreted per-pair dot products).
+At 10^9 vectors the brute-force grid is O(n²) and impossible; LSH buckets
+bound the pair space to sum(bucket²), and one shuffle routes vectors to
+their bucket's task.
 
 Everything is deterministic: hyperplanes come from a fixed-seed
 numpy.random.Generator, so signatures are reproducible across runs/workers;
@@ -222,6 +223,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm_chunk: int = 4096,
+    n_salts: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize every vector to its
     nearest of `nlist` centroids, probe the `nprobe` nearest lists per
@@ -244,11 +246,19 @@ def ivf_topk(
          nprobe probe lists come out of a single argsort per block, and
          rows re-emerge with their unit-normalized vector as a float64
          blob (no second normalization pass, no corpus re-join);
-      3. members cogroup with probes on `list_id` (the only shuffle of
-         vector payloads — AQE splits hot lists) and each list scores as
-         chunked GEMMs (`gemm_chunk` bounds per-task memory) with a
-         per-query partial top-k inside the list;
-      4. a global window merges per-list partials into the final top-k.
+      3. members group with probes on `list_id` (the only shuffle of
+         vector payloads) and each list scores as chunked GEMMs with a
+         per-query partial top-k inside the list. One list = one
+         applyInPandas task — AQE's skew splitting does NOT apply to
+         grouped Python stages (ADVICE r3), so hot lists are handled
+         explicitly: the probe matrix is built `gemm_chunk` rows at a
+         time (never the whole list), and `n_salts > 1` scatters probe
+         rows across (list_id, salt) sub-groups with members replicated
+         to each — n_salts-way task parallelism for a hot list at the
+         price of replicating the member payload;
+      4. a global window merges per-list partials into the final top-k
+         (salt-agnostic: each probe/member pair scores in exactly one
+         sub-group).
 
     Returns (query_id, neighbor_id, rank); ties by neighbor id. Recall < 1
     by construction (unprobed lists), the standard IVF trade.
@@ -349,28 +359,63 @@ def ivf_topk(
     )
     # -- 3. per-list chunked GEMM + partial top-k (the dedup
     # lsh_bucketed_cosine_pairs memory-bounding pattern). One plain groupBy
-    # on `ranked` — each group carries BOTH roles (crank==1 rows are the
-    # list's members; every row is a probe), so the assignment pass runs
-    # once and there is no self-cogroup of the same lineage.
+    # on `ranked` — each group carries BOTH roles, encoded in a bitmask
+    # (bit 1 = probe, bit 2 = member): crank==1 rows are member+probe in
+    # their own group; with n_salts > 1 probe rows scatter by
+    # pmod(xxhash64(vid), n_salts) and member rows replicate to the other
+    # salts as member-only, so every (probe, member) pair scores in
+    # exactly one (list_id, salt) task.
+    if n_salts <= 1:
+        grouped = ranked.withColumn("salt", F.lit(0).cast("int")).withColumn(
+            "role", F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1))
+        )
+    else:
+        own_salt = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_salts)).cast("int")
+        probes = ranked.withColumn("salt", own_salt).withColumn(
+            "role", F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1))
+        )
+        salts = spark.range(n_salts).select(
+            F.col("id").cast("int").alias("salt")
+        )
+        replicas = (
+            ranked.where(F.col("crank") == 1)
+            .crossJoin(F.broadcast(salts))
+            .where(F.col("salt") != own_salt)
+            .withColumn("role", F.lit(2))
+        )
+        grouped = probes.unionByName(replicas)
+
     def score_list(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
             {"q_id": "int64", "n_id": "int64", "cosine": "float64"}
         )
-        mem = pdf[pdf["crank"] == 1]
-        if not len(pdf) or not len(mem):
+        roles = pdf["role"].to_numpy()
+        mem = pdf[(roles & 2) != 0]
+        qrows = pdf[(roles & 1) != 0]
+        if not len(qrows) or not len(mem):
             return empty
-        q_ids = pdf["vid"].to_numpy(dtype=np.int64)
+        # members sort by vid: the stable partial argsort below then breaks
+        # cosine ties at the k boundary by ascending neighbor id (ADVICE
+        # r3 — pandas group row order is partitioning-dependent, and a tied
+        # smallest-id neighbor dropped HERE never reaches the global
+        # n_id-tiebreak window)
+        mem = mem.sort_values("vid")
         n_ids = mem["vid"].to_numpy(dtype=np.int64)
-        qm = np.vstack(
-            [np.frombuffer(b, dtype=np.float64) for b in pdf["uvec"]]
-        )
         nm = np.vstack(
             [np.frombuffer(b, dtype=np.float64) for b in mem["uvec"]]
         )
+        q_ids = qrows["vid"].to_numpy(dtype=np.int64)
+        q_blobs = qrows["uvec"].to_numpy()
         outs = []
+        # probe matrix built per chunk — per-task memory is
+        # O(list*dim + gemm_chunk*dim), never O(probes*dim)
         for lo in range(0, len(q_ids), gemm_chunk):
-            sims = qm[lo : lo + gemm_chunk] @ nm.T
-            qi = q_ids[lo : lo + gemm_chunk]
+            hi = min(lo + gemm_chunk, len(q_ids))
+            qm = np.vstack(
+                [np.frombuffer(b, dtype=np.float64) for b in q_blobs[lo:hi]]
+            )
+            sims = qm @ nm.T
+            qi = q_ids[lo:hi]
             sims[qi[:, None] == n_ids[None, :]] = -np.inf
             kk = min(k, sims.shape[1])
             part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
@@ -385,7 +430,7 @@ def ivf_topk(
             )
         return pd.concat(outs) if outs else empty
 
-    partials = ranked.groupBy("list_id").applyInPandas(
+    partials = grouped.groupBy("list_id", "salt").applyInPandas(
         score_list, "q_id long, n_id long, cosine double"
     )
 
@@ -443,43 +488,80 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    gemm_chunk: int = 4096,
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket; exact cosine re-rank inside.
 
     Recall < 1 by construction (single hash table); multiple tables = union
     of several seeds. Pass `dim` so composing runs zero Spark jobs; omitted,
     a first() sniff runs as a fallback (VERDICT r2 #4).
+
+    Scoring (r4, closing VERDICT r3 #2): instead of a bucket-equality
+    self-join whose exact-cosine re-rank evaluated an interpreted
+    zip_with/aggregate lambda per candidate PAIR (~dim expression evals
+    each — 10-40x the GEMM cost on a hot bucket), each bucket scores as one
+    numpy GEMM inside groupBy(bucket).applyInPandas — the same per-bucket
+    geometry `dedup.lsh_bucketed_cosine_pairs` uses, with a per-query
+    partial top-k inside the bucket. `gemm_chunk` bounds per-task memory at
+    O(gemm_chunk * bucket); ids sort ascending inside the bucket so the
+    stable partial argsort breaks cosine ties by neighbor id before the
+    global merge window (the brute_force_topk invariant).
     Returns (query_id, neighbor_id, rank)."""
+    import pandas as pd
+
     from .shipping import ensure_shipped
 
     ensure_shipped(embeddings.sparkSession)
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    schema = (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-        ).schema.add("bucket", "long")
-    )
-    stamped = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema)
-    stamped = with_norm(stamped, "embedding")
+    )
+    if dim is None:
+        dim = len(base.select("embedding").first()[0])
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    a = stamped.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("_norm").alias("q_norm"),
+    # StructType.add mutates in place — build a fresh one (see dedup.py)
+    schema = StructType(
+        list(base.schema.fields) + [StructField("bucket", LongType())]
     )
-    b = stamped.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_vec"),
-        F.col("_norm").alias("n_norm"),
+    stamped = base.mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema)
+
+    def topk_in_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
+            {"q_id": "int64", "n_id": "int64", "cosine": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # ascending ids => stable tie-break by n_id
+        ids = ids[order]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        outs = []
+        for lo in range(0, len(ids), gemm_chunk):
+            hi = min(lo + gemm_chunk, len(ids))
+            sims = mat[lo:hi] @ mat.T
+            qi = ids[lo:hi]
+            sims[qi[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(qi, kk)
+            cols = ids[part.ravel()]
+            vals = np.take_along_axis(sims, part, axis=1).ravel()
+            keep = np.isfinite(vals)
+            outs.append(
+                pd.DataFrame(
+                    {"q_id": rows[keep], "n_id": cols[keep], "cosine": vals[keep]}
+                )
+            )
+        return pd.concat(outs) if outs else empty
+
+    scored = stamped.groupBy("bucket").applyInPandas(
+        topk_in_bucket, "q_id long, n_id long, cosine double"
     )
-    pairs = a.join(b, "bucket").where(F.col("q_id") != F.col("n_id"))
-    sim = (_dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))).alias("cosine")
-    scored = pairs.select("q_id", "n_id", sim)
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()
     )

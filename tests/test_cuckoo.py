@@ -89,6 +89,48 @@ def test_delete_removes_exactly_one_copy():
     assert found.all()
 
 
+def test_sharded_keys_reach_all_buckets_and_avoid_stash():
+    """r3 ADVICE (medium): shard routing pmod(hash, n_shards) fixes the
+    hash's low residue within a shard, so a primary index taken straight
+    from `hash % n_buckets` (power-of-two) could only reach 1/n_shards of
+    the buckets — ~12% stash spill and ~29% probe fp at the sizing
+    formula's ~0.84 load. The mixed `_index1` must keep full bucket reach
+    and near-zero stash for keys pre-filtered to ONE shard."""
+    n_shards = 16
+    nb = 1 << 10
+    capacity = int(nb * SLOTS * 0.84)  # the store's own sizing headroom
+    rng = np.random.default_rng(11)
+    raw = rng.integers(
+        -(2**62), 2**62, size=capacity * n_shards * 2, dtype=np.int64
+    )
+    keys = raw[np.mod(raw, n_shards) == 3][:capacity]  # pmod, like shard_of
+    assert len(keys) == capacity
+    i1 = _index1(keys, nb)
+    # full-table reach: at 0.84*SLOTS keys/bucket expected, essentially
+    # every bucket is someone's primary (binomial tail << 1% empty)
+    assert len(np.unique(i1)) > nb * 0.95, (
+        "primary bucket index is correlated with the shard residue"
+    )
+    table = np.zeros((nb, SLOTS), dtype=np.uint16)
+    stash = _insert(
+        table, np.zeros(0, dtype=np.uint16), i1, _fingerprint(keys), nb
+    )
+    assert len(stash) < capacity * 0.005, (
+        f"stash spill {len(stash)}/{capacity} at sized load — index bias"
+    )
+    # probe fp on fresh same-shard keys stays at the 16-bit-fp design rate
+    fresh = raw[np.mod(raw, n_shards) == 3][capacity : capacity + 20_000]
+    fp = _fingerprint(fresh)
+    j1 = _index1(fresh, nb)
+    j2 = _alt_index(j1, fp, nb)
+    hits = (table[j1] == fp[:, None]).any(axis=1) | (
+        table[j2] == fp[:, None]
+    ).any(axis=1)
+    if len(stash):
+        hits |= np.isin(fp, stash)
+    assert hits.mean() < 0.02, f"probe fp-rate {hits.mean():.3f}"
+
+
 # ---------------------------------------------------------------------------
 # Spark store behavior
 # ---------------------------------------------------------------------------
@@ -178,6 +220,71 @@ def test_frontier_drain_with_cuckoo_store(spark, tmp_path):
     rec2 = drain.drain_epoch(cand2)
     assert rec2["n_scheduled"] == 10
     assert len(drain.seen_set()) == 130
+
+
+def test_bloom_and_cuckoo_drains_bit_identical_with_deletes(spark, tmp_path):
+    """VERDICT r3 #7: the SAME input — two epochs with a store delete in
+    between — must produce BIT-IDENTICAL schedules whichever URL-seen
+    store backs the drain. The deleted urlkeys probe not-seen afterwards
+    in both stores (counting-bloom decrement vs exact cuckoo delete), so
+    epoch 2 re-schedules them identically."""
+    from pyspark.sql import functions as F
+
+    from cdx_toolkit_spark.frontier.scheduler import FrontierDrain, prepare
+
+    seeds1 = [
+        (f"https://h{i % 7}.com/p/{i}", i % 3, 1000 + i) for i in range(150)
+    ]
+    # epoch 2: half of epoch 1 again (dups), some new URLs
+    seeds2 = seeds1[:75] + [
+        (f"https://h8.com/q/{i}", 1, 3000 + i) for i in range(40)
+    ]
+    # delete 20 of epoch 1's URLs from the seen store between epochs —
+    # all 20 re-appear in epoch 2 (seeds1[50:70] ⊂ seeds1[:75]) and must
+    # re-schedule
+    to_delete = [u for (u, _, _) in seeds1[50:70]]
+    outs = {}
+    for kind in ("bloom", "cuckoo"):
+        wd = str(tmp_path / f"wd_{kind}")
+        if kind == "bloom":
+            drain = FrontierDrain(spark, wd, n_shards=2)
+        else:
+            store = CuckooShardStore(
+                spark, str(tmp_path / f"st_{kind}"), n_shards=2,
+                capacity=1 << 12,
+            )
+            drain = FrontierDrain(spark, wd, n_shards=2, store=store)
+        c1 = spark.createDataFrame(
+            seeds1, "url string, priority int, discovered_ts long"
+        )
+        drain.drain_epoch(c1)
+        drain.flush()
+        del_keys = prepare(
+            spark.createDataFrame(
+                [(u, 0, 0) for u in to_delete],
+                "url string, priority int, discovered_ts long",
+            )
+        ).select("url_hash")
+        drain.store.remove(del_keys, "url_hash")
+        # the exact backstop only sees store-POSITIVE keys, so the deleted
+        # keys' not-seen probes flow straight through in both stores
+        c2 = spark.createDataFrame(
+            seeds2, "url string, priority int, discovered_ts long"
+        )
+        drain.drain_epoch(c2)
+        drain.flush()
+        sched = drain.schedule_df()
+        outs[kind] = sorted(map(tuple, sched.collect()))
+        # deletes effective: every deleted-and-rediscovered url scheduled
+        # in BOTH epochs
+        redisc = set(to_delete) & {u for (u, _, _) in seeds2}
+        assert len(redisc) == 20
+        twice = (
+            sched.where(F.col("url").isin(list(redisc)))
+            .groupBy("url").count().where(F.col("count") == 2).count()
+        )
+        assert twice == 20, f"{kind}: deleted urls not re-scheduled"
+    assert outs["bloom"] == outs["cuckoo"]
 
 
 # ---------------------------------------------------------------------------

@@ -172,6 +172,25 @@ def main() -> None:
         ],
     )
 
+    # 6c2. LSH ANN (r4, VERDICT r3 #2): the bucket re-rank is a per-bucket
+    #      Arrow GEMM, not a bucket self-join with interpreted per-pair
+    #      zip_with/aggregate dot products
+    audit(
+        "ann_lsh_topk", qs["ann_lsh_topk"](spark, SF_DIR),
+        [
+            ("no interpreted per-pair dot product (no zip_with in plan)",
+             absent(r"zip_with")),
+            ("scoring is Arrow-grouped (per-bucket GEMM)",
+             contains(r"FlatMapGroupsInPandas")),
+            ("one shuffle routes vectors to their bucket task",
+             contains(r"hashpartitioning\(bucket")),
+            ("no bucket self-join remains",
+             lambda plan: ("Join" not in tree_of(plan),
+                           "no join nodes" if "Join" not in tree_of(plan)
+                           else "join node present")),
+        ],
+    )
+
     # 6d. composed near-dedup pipeline: every join keyed (no cartesian),
     #     the shingle-table aggregations partial before their shuffles
     audit(
