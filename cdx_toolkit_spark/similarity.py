@@ -14,7 +14,8 @@ Scale path: random-hyperplane LSH. Signatures are computed in one Arrow
 batch per partition (numpy matmul inside mapInPandas — the canonical "Python
 only where built-ins can't express it" case), then only bucket-mates pay
 the exact-cosine price: each bucket scores as a chunked numpy GEMM inside
-groupBy(bucket).applyInPandas (r4 — no interpreted per-pair dot products).
+a bucket-sorted mapInPandas stream (r4 — no interpreted per-pair dots, no
+per-group pandas overhead).
 At 10^9 vectors the brute-force grid is O(n²) and impossible; LSH buckets
 bound the pair space to sum(bucket²), and one shuffle routes vectors to
 their bucket's task.
@@ -500,9 +501,11 @@ def lsh_topk(
     self-join whose exact-cosine re-rank evaluated an interpreted
     zip_with/aggregate lambda per candidate PAIR (~dim expression evals
     each — 10-40x the GEMM cost on a hot bucket), each bucket scores as one
-    numpy GEMM inside groupBy(bucket).applyInPandas — the same per-bucket
-    geometry `dedup.lsh_bucketed_cosine_pairs` uses, with a per-query
-    partial top-k inside the bucket. `gemm_chunk` bounds per-task memory at
+    numpy GEMM — the same per-bucket geometry
+    `dedup.lsh_bucketed_cosine_pairs` uses, with a per-query partial top-k
+    inside the bucket, streamed through mapInPandas over bucket-sorted
+    partitions (one Python call per Arrow batch, not per bucket — see the
+    comment at the scoring stage). `gemm_chunk` bounds per-task memory at
     O(gemm_chunk * bucket); ids sort ascending inside the bucket so the
     stable partial argsort breaks cosine ties by neighbor id before the
     global merge window (the brute_force_topk invariant).
@@ -525,42 +528,86 @@ def lsh_topk(
     )
     stamped = base.mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema)
 
-    def topk_in_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
-            {"q_id": "int64", "n_id": "int64", "cosine": "float64"}
-        )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)  # ascending ids => stable tie-break by n_id
-        ids = ids[order]
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
-        )
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        outs = []
-        for lo in range(0, len(ids), gemm_chunk):
-            hi = min(lo + gemm_chunk, len(ids))
-            sims = mat[lo:hi] @ mat.T
-            qi = ids[lo:hi]
-            sims[qi[:, None] == ids[None, :]] = -np.inf
-            kk = min(k, sims.shape[1])
-            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            rows = np.repeat(qi, kk)
-            cols = ids[part.ravel()]
-            vals = np.take_along_axis(sims, part, axis=1).ravel()
-            keep = np.isfinite(vals)
-            outs.append(
-                pd.DataFrame(
-                    {"q_id": rows[keep], "n_id": cols[keep], "cosine": vals[keep]}
-                )
-            )
-        return pd.concat(outs) if outs else empty
+    # Scoring runs as mapInPandas over bucket-hash-partitioned, bucket-
+    # sorted rows rather than groupBy().applyInPandas: with 2^n_planes
+    # buckets over a modest corpus most buckets hold a handful of vectors,
+    # and grouped-UDF execution pays a per-GROUP pandas construction +
+    # function call (measured ~3s of pure overhead at 1024 buckets x ~5
+    # rows). Here one Python call processes a whole Arrow batch and buckets
+    # are sliced with numpy on the sorted order; a bucket that spans Arrow
+    # batches is carried over (sortWithinPartitions makes buckets
+    # contiguous, repartition(bucket) makes them partition-local), so
+    # semantics are identical at both extremes — many tiny buckets and one
+    # hot bucket.
+    part = stamped.repartition(F.col("bucket")).sortWithinPartitions("bucket")
 
-    scored = stamped.groupBy("bucket").applyInPandas(
-        topk_in_bucket, "q_id long, n_id long, cosine double"
+    _empty = {
+        "q_id": pd.Series([], dtype="int64"),
+        "n_id": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def _score_chunk(pdf: pd.DataFrame):
+        """pdf = complete buckets, sorted by bucket. Returns a DataFrame of
+        per-bucket top-k partials (one frame per call, not per bucket)."""
+        buckets = pdf["bucket"].to_numpy()
+        ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat_all = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.linalg.norm(mat_all, axis=1)
+        norms[norms == 0] = 1.0
+        mat_all = mat_all / norms[:, None]
+        bounds = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        bounds = np.r_[bounds, len(buckets)]
+        rows_l, cols_l, vals_l = [], [], []
+        for gi in range(len(bounds) - 1):
+            s, e = bounds[gi], bounds[gi + 1]
+            if e - s < 2:
+                continue
+            order = np.argsort(ids_all[s:e])  # ascending ids => stable
+            ids = ids_all[s:e][order]         # tie-break by n_id
+            mat = mat_all[s:e][order]
+            for lo in range(0, len(ids), gemm_chunk):
+                hi = min(lo + gemm_chunk, len(ids))
+                sims = mat[lo:hi] @ mat.T
+                qi = ids[lo:hi]
+                sims[qi[:, None] == ids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                vals = np.take_along_axis(sims, top, axis=1).ravel()
+                keep = np.isfinite(vals)
+                rows_l.append(np.repeat(qi, kk)[keep])
+                cols_l.append(ids[top.ravel()][keep])
+                vals_l.append(vals[keep])
+        if not rows_l:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(rows_l),
+                "n_id": np.concatenate(cols_l),
+                "cosine": np.concatenate(vals_l),
+            }
+        )
+
+    def topk_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b = pdf["bucket"].iloc[-1]
+            is_last = pdf["bucket"].to_numpy() == last_b
+            carry = pdf[is_last]
+            done = pdf[~is_last]
+            if len(done):
+                yield _score_chunk(done)
+        if carry is not None and len(carry):
+            yield _score_chunk(carry)
+
+    scored = part.mapInPandas(
+        topk_stream, "q_id long, n_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()

@@ -95,6 +95,9 @@ def test_warcer_warns_on_revisit(spark, sf_dir, tmp_path, caplog):
 
     fixture_dir = ensure_warc_fixture(spark, sf_dir)
     out = str(tmp_path / "warcout")
+    # unbounded selection (no --limit): ONE aggregate warning — the r3
+    # per-row enumeration streamed every revisit row to the driver in an
+    # extra full scan (ADVICE r3)
     with caplog.at_level(logging.WARNING, logger="cdx_toolkit_spark.cli"):
         rc = cli.main(
             ["--sf-dir", sf_dir, "warc", "example0.com/*",
@@ -103,9 +106,26 @@ def test_warcer_warns_on_revisit(spark, sf_dir, tmp_path, caplog):
             spark=spark,
         )
     assert rc == 0
-    warns = [r for r in caplog.records
-             if "revisit record being resolved" in r.message]
-    assert warns, "fixture contains revisit records; warcer must warn"
+    agg = [r for r in caplog.records
+           if "revisit record" in r.message and "being resolved" in r.message]
+    assert agg, "fixture contains revisit records; warcer must warn"
+    assert not any("for url" in r.message for r in agg), (
+        "unbounded path must not enumerate per-row"
+    )
+    # bounded selection (--limit): per-record detail, reference
+    # cli.py:274-275 form with url + timestamp
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="cdx_toolkit_spark.cli"):
+        rc = cli.main(
+            ["--sf-dir", sf_dir, "--limit", "200", "warc", "example0.com/*",
+             "--warc-download-prefix", fixture_dir,
+             "--out-dir", str(tmp_path / "warcout2"), "--prefix", "T"],
+            spark=spark,
+        )
+    assert rc == 0
+    per_row = [r for r in caplog.records
+               if "revisit record being resolved for url" in r.message]
+    assert per_row, "bounded path must keep per-record warnings"
 
 
 def test_ia_decode_heterogeneous_field_sets(spark):

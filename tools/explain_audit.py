@@ -180,8 +180,8 @@ def main() -> None:
         [
             ("no interpreted per-pair dot product (no zip_with in plan)",
              absent(r"zip_with")),
-            ("scoring is Arrow-grouped (per-bucket GEMM)",
-             contains(r"FlatMapGroupsInPandas")),
+            ("scoring is Arrow-streamed (per-bucket GEMM in mapInPandas)",
+             contains(r"MapInPandas")),
             ("one shuffle routes vectors to their bucket task",
              contains(r"hashpartitioning\(bucket")),
             ("no bucket self-join remains",
