@@ -282,14 +282,18 @@ def minhash_signatures(
         if shingles is not None
         else shingle_table(docs, n, id_col, text_col)
     )
+    # ONE base hash per shingle, then k affine rehashes (see
+    # affine_consts) — the base hash is the portability/cost anchor, the
+    # rehash family is the speed. portable: low 32 bits of
+    # md5('<shingle>:0') — parse just hex chars 9-16 (the full hash64_col
+    # runs TWO conv() string parses per shingle and the hi one was thrown
+    # away; r2 bench +57%). Value-identical to
+    # hash64_col(shingle, 0, True) & 0xFFFFFFFF. production: low 32 bits
+    # of ONE xxhash64 — pure JVM long math, no md5 and no hex parse. (The
+    # r3 prod path ran num_hashes FULL xxhash64 string hashes per shingle;
+    # at k=64 the k-fold string re-hash could LOSE to the md5 path despite
+    # the cheaper primitive.)
     if portable:
-        # one md5 per shingle, then k affine rehashes (see affine_consts) —
-        # the md5 is the portability anchor, the rehash family is the speed.
-        # Only the LOW 32 bits feed the affine family, so parse just hex
-        # chars 9-16 — the full hash64_col runs TWO conv() string parses
-        # per shingle and the hi one was thrown away (r2 bench +57%; this
-        # recovers about half of it). Value-identical to
-        # hash64_col(shingle, 0, True) & 0xFFFFFFFF.
         h32 = F.conv(
             F.substring(
                 F.md5(F.concat_ws(":", F.col("shingle"), F.lit("0"))), 9, 8
@@ -297,18 +301,15 @@ def minhash_signatures(
             16,
             10,
         ).cast("long")
-        sh = sh.select("doc", h32.alias("h"))
-        aggs = [
-            F.min(
-                (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
-            ).alias(f"mh_{j}")
-            for j, (a, b) in enumerate(affine_consts(num_hashes))
-        ]
     else:
-        aggs = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"mh_{j}")
-            for j in range(num_hashes)
-        ]
+        h32 = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
+    sh = sh.select("doc", h32.alias("h"))
+    aggs = [
+        F.min(
+            (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(affine_consts(num_hashes))
+    ]
     return sh.groupBy("doc").agg(*aggs)
 
 
