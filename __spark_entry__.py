@@ -307,6 +307,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             _emb(s, d), k=5, n_planes=10, dim=_EMB_DIM,
         ),
+        # multi-table LSH (the recall knob): a candidate pair counts if ANY
+        # seed's table buckets it together; rediscoveries dedupe on the
+        # pair key before the top-k window. Full value-hash oracle — the
+        # per-seed hyperplanes embed as float literals like ann_lsh_topk's.
+        "ann_lsh_multiseed": lambda s, d: similarity.lsh_topk(
+            _emb(s, d), k=5, n_planes=8, dim=_EMB_DIM, seeds=(42, 43),
+        ),
         # IVF scale path: deterministic hashed-sample centroids => the oracle
         # rebuilds the identical inverted lists in SQL (similarity.ivf_topk).
         # nlist ~ sqrt(n) keeps candidates/query at ~nprobe*sqrt(n)
@@ -965,6 +972,46 @@ def _ann_lsh_oracle(k: int = 5, n_planes: int = 10, seed: int = 42,
     )
 
 
+def _ann_lsh_multiseed_oracle(k: int = 5, n_planes: int = 8,
+                              seeds: tuple[int, ...] = (42, 43),
+                              dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_topk(seeds=...): per-seed buckets as
+    literal-coefficient sign sums computed ONCE per row (CTE columns, not
+    per-pair), pair qualifies when ANY seed's buckets match, exact cosine
+    re-rank, top-k by (cosine DESC, neighbor_id)."""
+    from cdx_toolkit_spark.similarity import _hyperplanes
+
+    bucket_cols = []
+    for si, sd in enumerate(seeds):
+        planes = _hyperplanes(dim, n_planes, sd)
+        terms = []
+        for j in range(n_planes):
+            dot = " + ".join(
+                f"v[{i + 1}]*{planes[i, j]!r}" for i in range(dim)
+            )
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+        bucket_cols.append("(" + " + ".join(terms) + f") AS b{si}")
+    share = " OR ".join(f"a.b{si} = b.b{si}" for si in range(len(seeds)))
+    return (
+        "WITH e AS (SELECT vec_id,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "  FROM embeddings),\n"
+        "s AS (SELECT vec_id, v,"
+        "  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,\n  "
+        + ",\n  ".join(bucket_cols)
+        + "\n  FROM e),\n"
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,\n"
+        "  list_sum(list_transform(generate_series(1, len(a.v)),"
+        "    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cosine\n"
+        f"  FROM s a JOIN s b ON ({share})"
+        "  AND a.vec_id <> b.vec_id)\n"
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "  SELECT query_id, neighbor_id, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id"
+        f"  ) AS rank FROM p) t WHERE rank <= {k}"
+    )
+
+
 def _bucketed_cosine_oracle(threshold: float = 0.40, n_planes: int = 6,
                             seeds: tuple[int, ...] = (42, 43),
                             dim: int = 64) -> str:
@@ -1266,6 +1313,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_oracle(k=5, n_planes=10, seed=42, dim=64),
+        "ann_lsh_multiseed": _ann_lsh_multiseed_oracle(
+            k=5, n_planes=8, seeds=(42, 43), dim=64
+        ),
         "ann_ivf_topk": (
             "WITH e AS (SELECT vec_id,"
             "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"

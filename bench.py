@@ -159,6 +159,7 @@ def main() -> None:
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_lsh_multiseed",
         "ann_ivf_topk",
         "pipeline_clean_corpus",
         "pipeline_near_dedup",

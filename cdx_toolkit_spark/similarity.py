@@ -490,12 +490,20 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     gemm_chunk: int = 4096,
+    seeds: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket; exact cosine re-rank inside.
 
-    Recall < 1 by construction (single hash table); multiple tables = union
-    of several seeds. Pass `dim` so composing runs zero Spark jobs; omitted,
-    a first() sniff runs as a fallback (VERDICT r2 #4).
+    Recall < 1 by construction; `seeds` unions SEVERAL hash tables (the
+    standard recall knob): a candidate pair counts if ANY seed's table
+    buckets it together. Per-seed bucket ids are disambiguated by a seed
+    offset so the single streamed scorer below handles every table in one
+    pass; pairs rediscovered under several seeds are deduped on the pair
+    key with max(cosine) before the top-k window (max, not distinct-on-
+    float: BLAS summation order can differ in the last ulp between the
+    seeds' GEMM shapes — same rationale as dedup.lsh_bucketed_cosine_pairs).
+    Pass `dim` so composing runs zero Spark jobs; omitted, a first() sniff
+    runs as a fallback (VERDICT r2 #4).
 
     Scoring (r4, closing VERDICT r3 #2): instead of a bucket-equality
     self-join whose exact-cosine re-rank evaluated an interpreted
@@ -526,7 +534,14 @@ def lsh_topk(
     schema = StructType(
         list(base.schema.fields) + [StructField("bucket", LongType())]
     )
-    stamped = base.mapInPandas(lsh_bucket_udf(dim, n_planes, seed), schema)
+    all_seeds = seeds if seeds else (seed,)
+    stamped = None
+    for si, sd in enumerate(all_seeds):
+        s = base.mapInPandas(lsh_bucket_udf(dim, n_planes, sd), schema)
+        if len(all_seeds) > 1:
+            # same bucket id under different seeds must not collide
+            s = s.withColumn("bucket", F.col("bucket") + F.lit(si << n_planes))
+        stamped = s if stamped is None else stamped.unionByName(s)
 
     # Scoring runs as mapInPandas over bucket-hash-partitioned, bucket-
     # sorted rows rather than groupBy().applyInPandas: with 2^n_planes
@@ -609,6 +624,12 @@ def lsh_topk(
     scored = part.mapInPandas(
         topk_stream, "q_id long, n_id long, cosine double"
     )
+    if len(all_seeds) > 1:
+        # a pair rediscovered by several tables must rank ONCE: dedupe on
+        # the pair key keeping max(cosine) (map-side combinable)
+        scored = scored.groupBy("q_id", "n_id").agg(
+            F.max("cosine").alias("cosine")
+        )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()
     )

@@ -113,6 +113,57 @@ def test_lsh_topk_gemm_matches_numpy_reference(spark):
     assert got == sorted(expect)
 
 
+def test_lsh_topk_buckets_spanning_arrow_batches(spark):
+    """The streamed bucket scorer carries a bucket that spans Arrow
+    batches across batch boundaries. Force pathological batching
+    (maxRecordsPerBatch=7, buckets of ~40 rows) and require identical
+    results to the default batching."""
+    rng = np.random.default_rng(17)
+    n, dim = 200, 16
+    mat = rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(3)
+    # n_planes=3 => 8 buckets over 200 rows => ~25 rows/bucket >> 7
+    kw = dict(k=4, n_planes=3, seed=11, dim=dim)
+    baseline = sorted(map(tuple, similarity.lsh_topk(emb, **kw).collect()))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = sorted(map(tuple, similarity.lsh_topk(emb, **kw).collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert tiny == baseline
+
+
+def test_lsh_topk_multiseed_is_exact_union_of_tables(spark):
+    """seeds=(a,b) with k >= any bucket size must return exactly the UNION
+    of the two single-table candidate pair sets (each pair ranked once),
+    and seeds=(a,) must equal the single-seed path bit-for-bit."""
+    rng = np.random.default_rng(23)
+    n, dim = 150, 16
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(n_planes=4, dim=dim, k=n)  # k=n => no truncation
+    single_a = similarity.lsh_topk(emb, seed=42, **kw).collect()
+    single_tuple = sorted(map(tuple, single_a))
+    assert single_tuple == sorted(
+        map(tuple, similarity.lsh_topk(emb, seeds=(42,), **kw).collect())
+    )
+    single_b = similarity.lsh_topk(emb, seed=43, **kw).collect()
+    multi = similarity.lsh_topk(emb, seeds=(42, 43), **kw).collect()
+    pairs = lambda rows: {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert pairs(multi) == pairs(single_a) | pairs(single_b)
+    assert len(multi) == len(pairs(multi))  # each pair ranked exactly once
+
+
 def test_shared_shingles_match_per_kernel_explode(spark, sf_dir):
     """VERDICT r3 #3: passing a shared shingle_table frame must be
     result-identical to each kernel exploding its own."""
