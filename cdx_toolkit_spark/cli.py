@@ -192,9 +192,12 @@ def warcer(cmd, spark) -> int:
     # reference cli.py:274-275: warn per revisit record being resolved.
     # Per-row lines only when --limit bounds the selection; unbounded, the
     # enumeration would stream EVERY revisit row to the driver in an extra
-    # full scan before fetching begins (ADVICE r3) — emit one aggregate
-    # warning instead (the count rides the fetch job's own scan lineage,
-    # so no per-row driver traffic).
+    # full scan before fetching begins (ADVICE r3) — attach an observe()
+    # metric instead: the conditional count is collected ON the fetch
+    # job's own scan (CollectMetrics rides the lineage; no second pass,
+    # no per-row driver traffic) and the aggregate warning is logged
+    # after the fetch completes.
+    revisit_obs = None
     if cmd.limit:
         for row in (
             idx.where(F.col("warc_type") == "revisit")
@@ -206,12 +209,15 @@ def warcer(cmd, spark) -> int:
                 row["url"], row["warc_date"],
             )
     else:
-        n_revisit = idx.where(F.col("warc_type") == "revisit").count()
-        if n_revisit:
-            LOGGER.warning(
-                "%d revisit records being resolved (pass --limit for "
-                "per-record detail)", n_revisit,
-            )
+        from pyspark.sql import Observation
+
+        revisit_obs = Observation("revisit_warn")
+        idx = idx.observe(
+            revisit_obs,
+            F.sum(
+                F.when(F.col("warc_type") == "revisit", 1).otherwise(0)
+            ).alias("n_revisit"),
+        )
 
     fetched = warcmod.fetch_warc_records(
         spark,
@@ -230,6 +236,13 @@ def warcer(cmd, spark) -> int:
         fetched, cmd.out_dir, prefix=cmd.prefix, subprefix=cmd.subprefix,
         target_bytes=cmd.size, info=info,
     ).collect()
+    if revisit_obs is not None:
+        n_revisit = int(revisit_obs.get.get("n_revisit") or 0)
+        if n_revisit:
+            LOGGER.warning(
+                "%d revisit records being resolved (pass --limit for "
+                "per-record detail)", n_revisit,
+            )
     for m in manifest:
         print(f"{m['segment']}  records={m['n_records']}  bytes={m['n_bytes']}")
     return 0

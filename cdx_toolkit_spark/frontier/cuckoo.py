@@ -66,11 +66,21 @@ SHARD_SCHEMA = StructType(
 
 SLOTS = 4
 MAX_KICKS = 250
+# Bump whenever _index1/_alt_index/_fingerprint change the on-disk bucket
+# layout. Scheme 1 was the raw `hash % n_buckets` primary index (r3);
+# scheme 2 is the murmur-mixed index (r4). A store written under a
+# different scheme is rejected at construction — probing it with the
+# wrong index function would silently break the zero-false-negative
+# guarantee.
+INDEX_SCHEME = 2
+_SCHEME_MARKER = "_index_scheme.json"
 
 
 def _fingerprint(hashes: np.ndarray) -> np.ndarray:
-    """16-bit nonzero fingerprints from the high bits (the bucket index
-    uses the low bits, keeping fp and index nearly independent)."""
+    """16-bit nonzero fingerprints from the high bits of the RAW hash.
+    The bucket index (_index1) is computed from a murmur-mixed copy of the
+    full hash — a different function of the same bits — so fp and index
+    stay statistically independent even though both now see all 64 bits."""
     fp = ((hashes.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(
         np.uint16
     )
@@ -87,8 +97,15 @@ def _index1(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
     would reach only n_buckets/n_shards buckets as primary, overloading
     them ~n_shards-fold, spilling keys to the stash far below the sized
     load and inflating the probe fp-rate (stash matches fingerprint-only).
-    A murmur3-style finalizer (the same mix bloom._positions uses)
-    decorrelates the index bits from the shard residue."""
+    A murmur3 fmix64 finalizer decorrelates the index bits from the shard
+    residue. (bloom._positions solves the same problem with a DIFFERENT,
+    2-round xorshift-multiply mix ored to odd — the two are independent
+    hash functions on purpose; do not 'synchronize' them.)
+
+    Changing this function changes the on-disk bucket layout: bump
+    INDEX_SCHEME alongside any edit — stores persisted under another
+    scheme are rejected at construction instead of silently probing the
+    wrong buckets (zero-false-negative would break undetectably)."""
     h = hashes.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15)
     h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
     h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
@@ -142,6 +159,8 @@ class CuckooShardStore:
 
     def __init__(self, spark: SparkSession, path: str, n_shards: int = 16,
                  capacity: int = 1 << 20):
+        import json
+
         from ..shipping import ensure_shipped
 
         ensure_shipped(spark)
@@ -151,6 +170,33 @@ class CuckooShardStore:
         want = max(16, int(capacity / (SLOTS * 0.84)))
         self.n_buckets = 1 << (want - 1).bit_length()
         self._version_cache: int | None = None
+        # refuse a store persisted under a different bucket-index scheme
+        # (see INDEX_SCHEME): probing old tables with a new index function
+        # would miss previously inserted keys undetectably
+        marker = os.path.join(path, _SCHEME_MARKER)
+        if os.path.isfile(marker):
+            with open(marker) as fd:
+                scheme = json.load(fd).get("index_scheme")
+            if scheme != INDEX_SCHEME:
+                raise ValueError(
+                    f"cuckoo store at {path} was written with index scheme "
+                    f"{scheme}; this build uses {INDEX_SCHEME} — rebuild the "
+                    "store (destroy() + build) or use the matching code"
+                )
+        else:
+            has_data = os.path.isdir(path) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(path) for f in fs
+            )
+            if has_data:
+                raise ValueError(
+                    f"cuckoo store at {path} predates index-scheme markers "
+                    "(scheme 1); this build uses scheme "
+                    f"{INDEX_SCHEME} — rebuild the store"
+                )
+            os.makedirs(path, exist_ok=True)
+            with open(marker, "w") as fd:
+                json.dump({"index_scheme": INDEX_SCHEME}, fd)
 
     # -- versioning (same protocol as BloomShardStore) ---------------------
 
@@ -317,10 +363,13 @@ class CuckooShardStore:
         )
 
     def destroy(self):
+        import json
         import shutil
 
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, _SCHEME_MARKER), "w") as fd:
+            json.dump({"index_scheme": INDEX_SCHEME}, fd)
         self._version_cache = None
 
 

@@ -371,6 +371,11 @@ def ivf_topk(
             "role", F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1))
         )
     else:
+        # probes and replicas are TWO consumers of the assignment lineage —
+        # without a persist the per-block centroid GEMM + uvec packing runs
+        # twice (once per union branch), doubling the very stage salting is
+        # meant to relieve. Lazy persist: composing still runs zero jobs.
+        ranked = ranked.persist()
         own_salt = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_salts)).cast("int")
         probes = ranked.withColumn("salt", own_salt).withColumn(
             "role", F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1))

@@ -100,8 +100,11 @@ def test_sharded_keys_reach_all_buckets_and_avoid_stash():
     nb = 1 << 10
     capacity = int(nb * SLOTS * 0.84)  # the store's own sizing headroom
     rng = np.random.default_rng(11)
+    # enough raw draws that the shard-3 residue yields capacity inserts
+    # PLUS a full 20k fresh-probe sample (≈1/n_shards survive the filter)
     raw = rng.integers(
-        -(2**62), 2**62, size=capacity * n_shards * 2, dtype=np.int64
+        -(2**62), 2**62,
+        size=(capacity + 20_000) * n_shards * 2, dtype=np.int64,
     )
     keys = raw[np.mod(raw, n_shards) == 3][:capacity]  # pmod, like shard_of
     assert len(keys) == capacity
@@ -120,6 +123,7 @@ def test_sharded_keys_reach_all_buckets_and_avoid_stash():
     )
     # probe fp on fresh same-shard keys stays at the 16-bit-fp design rate
     fresh = raw[np.mod(raw, n_shards) == 3][capacity : capacity + 20_000]
+    assert len(fresh) == 20_000  # the sample must not silently truncate
     fp = _fingerprint(fresh)
     j1 = _index1(fresh, nb)
     j2 = _alt_index(j1, fp, nb)
@@ -220,6 +224,31 @@ def test_frontier_drain_with_cuckoo_store(spark, tmp_path):
     rec2 = drain.drain_epoch(cand2)
     assert rec2["n_scheduled"] == 10
     assert len(drain.seen_set()) == 130
+
+
+def test_store_rejects_foreign_index_scheme(spark, tmp_path):
+    """A store persisted under a different bucket-index scheme must be
+    rejected at construction — probing old tables with a new index
+    function would miss inserted keys undetectably."""
+    import json
+
+    from cdx_toolkit_spark.frontier import cuckoo as ck
+
+    path = str(tmp_path / "ck_scheme")
+    store = CuckooShardStore(spark, path, n_shards=2, capacity=1 << 10)
+    store.build(_hash_df(spark, 0, 100), "url_hash")
+    # same scheme: reopening is fine
+    CuckooShardStore(spark, path, n_shards=2, capacity=1 << 10)
+    # foreign scheme: rejected
+    with open(f"{path}/{ck._SCHEME_MARKER}", "w") as fd:
+        json.dump({"index_scheme": ck.INDEX_SCHEME + 1}, fd)
+    with pytest.raises(ValueError, match="index scheme"):
+        CuckooShardStore(spark, path, n_shards=2, capacity=1 << 10)
+    # pre-marker store with data: rejected as scheme 1
+    import os
+    os.remove(f"{path}/{ck._SCHEME_MARKER}")
+    with pytest.raises(ValueError, match="predates"):
+        CuckooShardStore(spark, path, n_shards=2, capacity=1 << 10)
 
 
 def test_bloom_and_cuckoo_drains_bit_identical_with_deletes(spark, tmp_path):
