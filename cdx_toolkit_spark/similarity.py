@@ -225,10 +225,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     gemm_chunk: int = 4096,
     n_salts: int = 1,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize every vector to its
     nearest of `nlist` centroids, probe the `nprobe` nearest lists per
     query, exact-cosine re-rank only inside probed lists.
+
+    `queries` searches the corpus with an EXTERNAL query set (the
+    deployment shape: embed a prompt, retrieve neighbors) instead of
+    self-kNN: centroids and list membership still derive from the corpus
+    alone; query vectors are assigned their nprobe nearest lists by the
+    same broadcast-centroid GEMM and meet the members in the per-list
+    scorer as probe-only rows. Defaults to self-kNN (queries=None), where
+    every corpus row is both member and probe.
 
     Centroid seeding is a DETERMINISTIC hashed sample — the `nlist` vectors
     minimizing ((vec_id mod 2^31) * 2654435761) mod 2^32 (Knuth
@@ -309,87 +318,128 @@ def ivf_topk(
     # -- 2. assignment: one GEMM per corpus block against the centroid
     # matrix; every row leaves with its probe list ids (crank 1..nprobe)
     # and its unit vector, so scoring never re-reads the corpus
+    if queries is not None:
+        # two grids (corpus membership + query probes) consume the blob —
+        # persist so the hashed-sample centroid selection runs once
+        cent_blob = cent_blob.persist()
     blocks = _pack_blocks(base, "vid", "vec", n_blocks)
     grid = blocks.crossJoin(F.broadcast(cent_blob))
 
-    def assign(batches):
-        for pdf in batches:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                ids = np.frombuffer(r.ids, dtype=np.int64)
-                if not len(ids):
-                    continue
-                mat = np.frombuffer(r.mat, dtype=np.float64).reshape(r.n, r.dim)
-                cids = np.frombuffer(r.cids, dtype=np.int64)
-                cmat = np.frombuffer(r.cmat, dtype=np.float64).reshape(
-                    r.cn, r.cdim
-                )
-                ccos = mat @ cmat.T  # both sides unit-normalized
-                npb = min(nprobe, len(cids))
-                # order by (-ccos, cid): lexsort's last key is primary
-                order = np.lexsort(
-                    (np.broadcast_to(cids, ccos.shape), -ccos), axis=1
-                )[:, :npb]
-                blobs = [row.tobytes() for row in mat]
-                for crank in range(npb):
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "vid": ids,
-                                "list_id": cids[order[:, crank]],
-                                "crank": np.int32(crank + 1),
-                                "uvec": blobs,
-                            }
-                        )
+    def make_assign(npb_target: int):
+        def assign(batches):
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    ids = np.frombuffer(r.ids, dtype=np.int64)
+                    if not len(ids):
+                        continue
+                    mat = np.frombuffer(r.mat, dtype=np.float64).reshape(
+                        r.n, r.dim
                     )
-            if outs:
-                yield pd.concat(outs)
-            else:
-                empty = pd.DataFrame(
-                    {
-                        "vid": pd.Series([], dtype="int64"),
-                        "list_id": pd.Series([], dtype="int64"),
-                        "crank": pd.Series([], dtype="int32"),
-                        "uvec": pd.Series([], dtype=object),
-                    }
-                )
-                yield empty
+                    cids = np.frombuffer(r.cids, dtype=np.int64)
+                    cmat = np.frombuffer(r.cmat, dtype=np.float64).reshape(
+                        r.cn, r.cdim
+                    )
+                    ccos = mat @ cmat.T  # both sides unit-normalized
+                    npb = min(npb_target, len(cids))
+                    # order by (-ccos, cid): lexsort's last key is primary
+                    order = np.lexsort(
+                        (np.broadcast_to(cids, ccos.shape), -ccos), axis=1
+                    )[:, :npb]
+                    blobs = [row.tobytes() for row in mat]
+                    for crank in range(npb):
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "vid": ids,
+                                    "list_id": cids[order[:, crank]],
+                                    "crank": np.int32(crank + 1),
+                                    "uvec": blobs,
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs)
+                else:
+                    empty = pd.DataFrame(
+                        {
+                            "vid": pd.Series([], dtype="int64"),
+                            "list_id": pd.Series([], dtype="int64"),
+                            "crank": pd.Series([], dtype="int32"),
+                            "uvec": pd.Series([], dtype=object),
+                        }
+                    )
+                    yield empty
 
+        return assign
+
+    _RANKED_SCHEMA = "vid long, list_id long, crank int, uvec binary"
+    # corpus rows only need MEMBERSHIP (crank==1) when an external query
+    # set supplies the probes — skip emitting their probe ranks entirely
     ranked = grid.mapInPandas(
-        assign, "vid long, list_id long, crank int, uvec binary"
+        make_assign(nprobe if queries is None else 1), _RANKED_SCHEMA
     )
     # -- 3. per-list chunked GEMM + partial top-k (the dedup
     # lsh_bucketed_cosine_pairs memory-bounding pattern). One plain groupBy
     # on `ranked` — each group carries BOTH roles, encoded in a bitmask
-    # (bit 1 = probe, bit 2 = member): crank==1 rows are member+probe in
-    # their own group; with n_salts > 1 probe rows scatter by
-    # pmod(xxhash64(vid), n_salts) and member rows replicate to the other
-    # salts as member-only, so every (probe, member) pair scores in
-    # exactly one (list_id, salt) task.
-    if n_salts <= 1:
-        grouped = ranked.withColumn("salt", F.lit(0).cast("int")).withColumn(
-            "role", F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1))
-        )
+    # (bit 1 = probe, bit 2 = member): in self-kNN mode crank==1 rows are
+    # member+probe in their own group; with an external query set, corpus
+    # rows are member-only and query rows probe-only. With n_salts > 1
+    # probe rows scatter by pmod(xxhash64(vid), n_salts) and member rows
+    # replicate to the other salts as member-only, so every (probe,
+    # member) pair scores in exactly one (list_id, salt) task.
+    own_salt = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_salts)).cast("int")
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
+    if queries is None:
+        if n_salts <= 1:
+            grouped = ranked.withColumn(
+                "salt", F.lit(0).cast("int")
+            ).withColumn(
+                "role",
+                F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1)),
+            )
+        else:
+            # probes and replicas are TWO consumers of the assignment
+            # lineage — without a persist the per-block centroid GEMM +
+            # uvec packing runs twice (once per union branch), doubling the
+            # very stage salting is meant to relieve. Lazy persist:
+            # composing still runs zero jobs.
+            ranked = ranked.persist()
+            probes = ranked.withColumn("salt", own_salt).withColumn(
+                "role",
+                F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1)),
+            )
+            replicas = (
+                ranked.where(F.col("crank") == 1)
+                .crossJoin(F.broadcast(salts))
+                .where(F.col("salt") != own_salt)
+                .withColumn("role", F.lit(2))
+            )
+            grouped = probes.unionByName(replicas)
     else:
-        # probes and replicas are TWO consumers of the assignment lineage —
-        # without a persist the per-block centroid GEMM + uvec packing runs
-        # twice (once per union branch), doubling the very stage salting is
-        # meant to relieve. Lazy persist: composing still runs zero jobs.
-        ranked = ranked.persist()
-        own_salt = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_salts)).cast("int")
-        probes = ranked.withColumn("salt", own_salt).withColumn(
-            "role", F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1))
+        # external query set: assign queries their nprobe lists with the
+        # same broadcast-centroid GEMM (cent_blob persisted above);
+        # `ranked` already carries corpus membership only (crank==1)
+        qbase = queries.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(vec_col).alias("vec"),
         )
-        salts = spark.range(n_salts).select(
-            F.col("id").cast("int").alias("salt")
+        qblocks = _pack_blocks(qbase, "vid", "vec", n_blocks)
+        qranked = qblocks.crossJoin(F.broadcast(cent_blob)).mapInPandas(
+            make_assign(nprobe), _RANKED_SCHEMA
         )
-        replicas = (
-            ranked.where(F.col("crank") == 1)
-            .crossJoin(F.broadcast(salts))
-            .where(F.col("salt") != own_salt)
-            .withColumn("role", F.lit(2))
+        members = ranked.where(F.col("crank") == 1).withColumn(
+            "role", F.lit(2)
         )
-        grouped = probes.unionByName(replicas)
+        probes = qranked.withColumn("role", F.lit(1))
+        if n_salts <= 1:
+            grouped = members.withColumn(
+                "salt", F.lit(0).cast("int")
+            ).unionByName(probes.withColumn("salt", F.lit(0).cast("int")))
+        else:
+            grouped = members.crossJoin(F.broadcast(salts)).unionByName(
+                probes.withColumn("salt", own_salt)
+            )
 
     def score_list(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
@@ -496,8 +546,15 @@ def lsh_topk(
     dim: int | None = None,
     gemm_chunk: int = 4096,
     seeds: tuple[int, ...] | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket; exact cosine re-rank inside.
+
+    `queries` searches the corpus with an EXTERNAL query set (see
+    ivf_topk): query vectors are stamped with the same hyperplanes and
+    meet corpus rows in their bucket as probe-only rows (corpus rows
+    become member-only, so query-query pairs never score). Defaults to
+    self-kNN.
 
     Recall < 1 by construction; `seeds` unions SEVERAL hash tables (the
     standard recall knob): a candidate pair counts if ANY seed's table
@@ -540,9 +597,19 @@ def lsh_topk(
         list(base.schema.fields) + [StructField("bucket", LongType())]
     )
     all_seeds = seeds if seeds else (seed,)
+    has_roles = queries is not None
+    if has_roles:
+        qin = queries.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
     stamped = None
     for si, sd in enumerate(all_seeds):
-        s = base.mapInPandas(lsh_bucket_udf(dim, n_planes, sd), schema)
+        udf = lsh_bucket_udf(dim, n_planes, sd)
+        s = base.mapInPandas(udf, schema)
+        if has_roles:
+            s = s.withColumn("role", F.lit(2)).unionByName(
+                qin.mapInPandas(udf, schema).withColumn("role", F.lit(1))
+            )
         if len(all_seeds) > 1:
             # same bucket id under different seeds must not collide
             s = s.withColumn("bucket", F.col("bucket") + F.lit(si << n_planes))
@@ -569,9 +636,12 @@ def lsh_topk(
 
     def _score_chunk(pdf: pd.DataFrame):
         """pdf = complete buckets, sorted by bucket. Returns a DataFrame of
-        per-bucket top-k partials (one frame per call, not per bucket)."""
+        per-bucket top-k partials (one frame per call, not per bucket).
+        With an external query set, each bucket splits into member rows
+        (role 2, the corpus) and probe rows (role 1, the queries)."""
         buckets = pdf["bucket"].to_numpy()
         ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
+        roles_all = pdf["role"].to_numpy() if has_roles else None
         mat_all = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
@@ -583,22 +653,35 @@ def lsh_topk(
         rows_l, cols_l, vals_l = [], [], []
         for gi in range(len(bounds) - 1):
             s, e = bounds[gi], bounds[gi + 1]
-            if e - s < 2:
-                continue
-            order = np.argsort(ids_all[s:e])  # ascending ids => stable
-            ids = ids_all[s:e][order]         # tie-break by n_id
-            mat = mat_all[s:e][order]
-            for lo in range(0, len(ids), gemm_chunk):
-                hi = min(lo + gemm_chunk, len(ids))
-                sims = mat[lo:hi] @ mat.T
-                qi = ids[lo:hi]
-                sims[qi[:, None] == ids[None, :]] = -np.inf
+            if has_roles:
+                r = roles_all[s:e]
+                m = np.flatnonzero(r == 2)
+                p = np.flatnonzero(r == 1)
+                if not len(m) or not len(p):
+                    continue
+                order = np.argsort(ids_all[s:e][m])  # members ascending =>
+                n_ids = ids_all[s:e][m][order]       # stable tie by n_id
+                nmat = mat_all[s:e][m][order]
+                q_ids = ids_all[s:e][p]
+                qmat = mat_all[s:e][p]
+            else:
+                if e - s < 2:
+                    continue
+                order = np.argsort(ids_all[s:e])  # ascending ids => stable
+                n_ids = ids_all[s:e][order]       # tie-break by n_id
+                nmat = mat_all[s:e][order]
+                q_ids, qmat = n_ids, nmat
+            for lo in range(0, len(q_ids), gemm_chunk):
+                hi = min(lo + gemm_chunk, len(q_ids))
+                sims = qmat[lo:hi] @ nmat.T
+                qi = q_ids[lo:hi]
+                sims[qi[:, None] == n_ids[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
                 top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
                 vals = np.take_along_axis(sims, top, axis=1).ravel()
                 keep = np.isfinite(vals)
                 rows_l.append(np.repeat(qi, kk)[keep])
-                cols_l.append(ids[top.ravel()][keep])
+                cols_l.append(n_ids[top.ravel()][keep])
                 vals_l.append(vals[keep])
         if not rows_l:
             return pd.DataFrame(_empty)

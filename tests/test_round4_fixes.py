@@ -141,6 +141,55 @@ def test_lsh_topk_buckets_spanning_arrow_batches(spark):
     assert tiny == baseline
 
 
+def test_ivf_external_queries_full_probe_equals_exact(spark):
+    """ivf_topk(queries=Q) with full probe must equal
+    brute_force_topk(corpus, queries=Q) — including the (-cosine, n_id)
+    tie order — and the salted variant must match bit-for-bit."""
+    rng = np.random.default_rng(31)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(240)],
+        "vec_id long, embedding array<double>",
+    )
+    qset = spark.createDataFrame(
+        [
+            (1000 + i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        map(
+            tuple,
+            similarity.brute_force_topk(corpus, k=3, queries=qset).collect(),
+        )
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                corpus, k=3, nlist=5, nprobe=5, queries=qset
+            ).collect(),
+        )
+    )
+    assert ivf == exact
+    salted = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                corpus, k=3, nlist=5, nprobe=5, queries=qset, n_salts=3
+            ).collect(),
+        )
+    )
+    assert salted == exact
+    # partial probe: probe-only queries never appear as neighbors, and
+    # every query still gets ranks 1..k
+    part = similarity.ivf_topk(
+        corpus, k=3, nlist=8, nprobe=2, queries=qset
+    ).collect()
+    assert all(r["neighbor_id"] < 1000 for r in part)
+    assert {r["query_id"] for r in part} == {1000 + i for i in range(40)}
+
+
 def test_lsh_topk_multiseed_is_exact_union_of_tables(spark):
     """seeds=(a,b) with k >= any bucket size must return exactly the UNION
     of the two single-table candidate pair sets (each pair ranked once),
@@ -162,6 +211,65 @@ def test_lsh_topk_multiseed_is_exact_union_of_tables(spark):
     pairs = lambda rows: {(r["query_id"], r["neighbor_id"]) for r in rows}
     assert pairs(multi) == pairs(single_a) | pairs(single_b)
     assert len(multi) == len(pairs(multi))  # each pair ranked exactly once
+
+
+def test_lsh_topk_external_queries_matches_numpy_reference(spark):
+    """lsh_topk(queries=Q): each query's candidates are its corpus
+    bucket-mates under the same hyperplanes; query-query pairs never
+    score. Verified against an independent driver-side numpy pass,
+    single- and multi-seed."""
+    rng = np.random.default_rng(41)
+    n, nq, dim, n_planes, k = 180, 25, 16, 4, 3
+    cmat = rng.standard_normal((n, dim))
+    qmat = rng.standard_normal((nq, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in cmat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    qset = spark.createDataFrame(
+        [(500 + i, [float(x) for x in qmat[i]]) for i in range(nq)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def ref(seed_list):
+        cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        cand = {qi: set() for qi in range(nq)}
+        for sd in seed_list:
+            planes = similarity._hyperplanes(dim, n_planes, sd)
+            cb = ((cmat @ planes) > 0) @ (1 << np.arange(n_planes))
+            qb = ((qmat @ planes) > 0) @ (1 << np.arange(n_planes))
+            for qi in range(nq):
+                cand[qi] |= set(np.where(cb == qb[qi])[0])
+        out = []
+        for qi in range(nq):
+            scored = sorted(
+                (float(-(qn[qi] @ cn[ci])), int(ci)) for ci in cand[qi]
+            )[:k]
+            out.extend(
+                (500 + qi, ci, r + 1) for r, (_, ci) in enumerate(scored)
+            )
+        return sorted(out)
+
+    got1 = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(
+                corpus, k=k, n_planes=n_planes, seed=7, dim=dim, queries=qset
+            ).collect(),
+        )
+    )
+    assert got1 == ref([7])
+    got2 = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(
+                corpus, k=k, n_planes=n_planes, dim=dim, queries=qset,
+                seeds=(7, 8),
+            ).collect(),
+        )
+    )
+    assert got2 == ref([7, 8])
 
 
 def test_shared_shingles_match_per_kernel_explode(spark, sf_dir):
