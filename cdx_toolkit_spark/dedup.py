@@ -598,41 +598,76 @@ def lsh_bucketed_cosine_pairs(
         s = s.withColumn("bucket", F.col("bucket") + F.lit(si << n_planes))
         stamped = s if stamped is None else stamped.unionByName(s)
 
-    def pairs_in_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
-        )
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        outs = []
-        for lo in range(0, len(ids), max_block):
-            hi = min(lo + max_block, len(ids))
-            sims = mat[lo:hi] @ mat[lo:].T  # rows lo..hi vs cols lo..end
-            ii, jj = np.where(sims >= threshold)
-            keep = (jj + lo) > (ii + lo)  # strict upper triangle in global coords
-            ii, jj = ii[keep], jj[keep]
-            if len(ii):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": ids[ii + lo],
-                            "doc_b": ids[jj + lo],
-                            "cosine": sims[ii, jj],
-                        }
-                    )
-                )
-        if not outs:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
-            )
-        return pd.concat(outs)
+    # Pair emission streams bucket-sorted partitions through mapInPandas
+    # rather than groupBy().applyInPandas (r4): grouped-UDF execution pays
+    # a per-GROUP pandas construction + call — pure overhead when buckets
+    # are small (see similarity.lsh_topk, where the same change measured
+    # ~3s at 1024 tiny buckets). One Python call processes a whole Arrow
+    # batch, buckets slice on the sorted order, and a bucket spanning
+    # Arrow batches is carried over; per-bucket arithmetic is unchanged.
+    part = stamped.repartition(F.col("bucket")).sortWithinPartitions("bucket")
 
-    out = stamped.groupBy("bucket").applyInPandas(
-        pairs_in_bucket, "doc_a long, doc_b long, cosine double"
+    _empty = {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def _pairs_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        buckets = pdf["bucket"].to_numpy()
+        ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat_all = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.linalg.norm(mat_all, axis=1)
+        norms[norms == 0] = 1.0
+        mat_all = mat_all / norms[:, None]
+        bounds = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        bounds = np.r_[bounds, len(buckets)]
+        outs = []
+        for gi in range(len(bounds) - 1):
+            s, e = bounds[gi], bounds[gi + 1]
+            if e - s < 2:
+                continue
+            order = np.argsort(ids_all[s:e])
+            ids = ids_all[s:e][order]
+            mat = mat_all[s:e][order]
+            for lo in range(0, len(ids), max_block):
+                hi = min(lo + max_block, len(ids))
+                sims = mat[lo:hi] @ mat[lo:].T  # rows lo..hi vs cols lo..end
+                ii, jj = np.where(sims >= threshold)
+                keep = (jj + lo) > (ii + lo)  # strict upper triangle, global
+                ii, jj = ii[keep], jj[keep]
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": ids[ii + lo],
+                                "doc_b": ids[jj + lo],
+                                "cosine": sims[ii, jj],
+                            }
+                        )
+                    )
+        return pd.concat(outs) if outs else pd.DataFrame(_empty)
+
+    def pairs_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_b = pdf["bucket"].iloc[-1]
+            is_last = pdf["bucket"].to_numpy() == last_b
+            carry = pdf[is_last]
+            done = pdf[~is_last]
+            if len(done):
+                yield _pairs_chunk(done)
+        if carry is not None and len(carry):
+            yield _pairs_chunk(carry)
+
+    out = part.mapInPandas(
+        pairs_stream, "doc_a long, doc_b long, cosine double"
     )
     # multi-seed tables rediscover the same pair with cosines that can differ
     # in the last ulp (BLAS summation order depends on the bucket's GEMM
