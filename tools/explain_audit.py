@@ -191,6 +191,23 @@ def main() -> None:
         ],
     )
 
+    # 6c3. bucketed cosine dedup (r4): pair emission Arrow-streamed over
+    #      bucket-sorted partitions; one bucket shuffle; no join anywhere
+    #      (sum(bucket^2) pairs, never an all-pairs or bucket self-join)
+    audit(
+        "dedup_cosine_bucketed", qs["dedup_cosine_bucketed"](spark, SF_DIR),
+        [
+            ("pair emission is Arrow-streamed (MapInPandas)",
+             contains(r"MapInPandas")),
+            ("one shuffle routes vectors to their bucket",
+             contains(r"hashpartitioning\(bucket")),
+            ("no join nodes (bucketed, never all-pairs)",
+             lambda plan: ("Join" not in tree_of(plan),
+                           "no join nodes" if "Join" not in tree_of(plan)
+                           else "join node present")),
+        ],
+    )
+
     # 6d. composed near-dedup pipeline: every join keyed (no cartesian),
     #     the shingle-table aggregations partial before their shuffles
     audit(
