@@ -320,6 +320,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _emb(s, d), k=5, nlist=64, nprobe=8,
         ),
+        # external-query-set mode (retrieve-for-a-prompt shape): queries are
+        # a derived deterministic subset of the corpus with shifted ids
+        # (vec_id % 7 == 0 -> id + 100000), so the oracle rebuilds the
+        # identical query table; each query's rank-1 neighbor is its own
+        # source row at cosine 1.0 — a free bit-exactness probe
+        "ann_lsh_queries": lambda s, d: similarity.lsh_topk(
+            _emb(s, d), k=5, n_planes=10, dim=_EMB_DIM,
+            queries=_ann_query_set(s, d),
+        ),
+        "ann_ivf_queries": lambda s, d: similarity.ivf_topk(
+            _emb(s, d), k=5, nlist=64, nprobe=8,
+            queries=_ann_query_set(s, d),
+        ),
         # --- WARC path (S-7 ingest, F-11 gzip split, F-12 header parse) -------
         "warc_ingest": lambda s, d: _warc_ingest(s, d),
         # --- robots.txt -> politeness rules (J-2 upstream) ---------------------
@@ -985,6 +998,101 @@ def _ann_lsh_oracle(k: int = 5, n_planes: int = 10, seed: int = 42,
     )
 
 
+def _ann_query_set(s: SparkSession, d: str) -> DataFrame:
+    """Deterministic external query set for the ANN queries=-mode entries:
+    every 7th corpus vector, re-idded (+100000) so query and corpus ids
+    are disjoint (the scorer's equal-id mask never fires; each query's
+    rank-1 hit is its own source row at cosine 1.0)."""
+    return (
+        _emb(s, d)
+        .where(F.col("vec_id") % 7 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+
+
+def _ann_lsh_queries_oracle(k: int = 5, n_planes: int = 10, seed: int = 42,
+                            dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_topk(queries=_ann_query_set(...)):
+    the query table derives from the same corpus CTE (identical vectors =>
+    identical buckets/norms), pairs are query-bucket x corpus-bucket."""
+    from cdx_toolkit_spark.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_terms = []
+    for j in range(n_planes):
+        dot = " + ".join(
+            f"v[{i + 1}]*{planes[i, j]!r}" for i in range(dim)
+        )
+        plane_terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_terms)
+    return (
+        "WITH e AS (SELECT vec_id,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "  FROM embeddings),\n"
+        "s AS (SELECT vec_id, v,"
+        "  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,\n"
+        f"  ({bucket}) AS bucket\n  FROM e),\n"
+        "q AS (SELECT vec_id + 100000 AS vec_id, v, nrm, bucket FROM s"
+        "  WHERE vec_id % 7 = 0),\n"
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,\n"
+        "  list_sum(list_transform(generate_series(1, len(a.v)),"
+        "    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cosine\n"
+        "  FROM q a JOIN s b ON a.bucket = b.bucket)\n"
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "  SELECT query_id, neighbor_id, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id"
+        f"  ) AS rank FROM p) t WHERE rank <= {k}"
+    )
+
+
+def _ann_ivf_queries_oracle(k: int = 5, nlist: int = 64,
+                            nprobe: int = 8) -> str:
+    """DuckDB twin of similarity.ivf_topk(queries=_ann_query_set(...)):
+    corpus lists from the hashed-sample centroid rule (crank=1 membership
+    only), query probe lists from the same centroid cosine ranking; ids
+    are disjoint so no self filter is needed."""
+    return (
+        "WITH e AS (SELECT vec_id,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "  FROM embeddings),\n"
+        "n AS (SELECT vec_id, v, CASE WHEN"
+        "  sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN 1.0"
+        "  ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nrm"
+        "  FROM e),\n"
+        "cents AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM n\n"
+        "  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296,"
+        f"  vec_id LIMIT {nlist}),\n"
+        "ranked AS (SELECT *, row_number() OVER ("
+        "  PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM (\n"
+        "  SELECT n.vec_id, n.v, n.nrm, c.cid,\n"
+        "    list_sum(list_transform(generate_series(1, len(n.v)),"
+        "      i -> n.v[i] * c.cvec[i])) / (n.nrm * c.cnrm) AS ccos\n"
+        "  FROM n, cents c)),\n"
+        "assign AS (SELECT vec_id AS n_id, v AS n_vec, nrm AS n_nrm,"
+        "  cid AS list_id FROM ranked WHERE crank = 1),\n"
+        "q AS (SELECT vec_id + 100000 AS q_id, v AS q_vec, nrm AS q_nrm"
+        "  FROM n WHERE vec_id % 7 = 0),\n"
+        "qranked AS (SELECT *, row_number() OVER ("
+        "  PARTITION BY q_id ORDER BY ccos DESC, cid) AS crank FROM (\n"
+        "  SELECT q.q_id, q.q_vec, q.q_nrm, c.cid,\n"
+        "    list_sum(list_transform(generate_series(1, len(q.q_vec)),"
+        "      i -> q.q_vec[i] * c.cvec[i])) / (q.q_nrm * c.cnrm) AS ccos\n"
+        "  FROM q, cents c)),\n"
+        "probes AS (SELECT q_id, q_vec, q_nrm, cid AS list_id FROM qranked"
+        f"  WHERE crank <= {nprobe}),\n"
+        "p AS (SELECT q_id, n_id,\n"
+        "  list_sum(list_transform(generate_series(1, len(q_vec)),"
+        "    i -> q_vec[i] * n_vec[i])) / (q_nrm * n_nrm) AS cosine\n"
+        "  FROM probes JOIN assign USING (list_id))\n"
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "  SELECT q_id AS query_id, n_id AS neighbor_id, row_number() OVER ("
+        "    PARTITION BY q_id ORDER BY cosine DESC, n_id"
+        f"  ) AS rank FROM p) t WHERE rank <= {k}"
+    )
+
+
 def _ann_lsh_multiseed_oracle(k: int = 5, n_planes: int = 8,
                               seeds: tuple[int, ...] = (42, 43),
                               dim: int = 64) -> str:
@@ -1329,6 +1437,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiseed": _ann_lsh_multiseed_oracle(
             k=5, n_planes=8, seeds=(42, 43), dim=64
         ),
+        "ann_lsh_queries": _ann_lsh_queries_oracle(
+            k=5, n_planes=10, seed=42, dim=64
+        ),
+        "ann_ivf_queries": _ann_ivf_queries_oracle(k=5, nlist=64, nprobe=8),
         "ann_ivf_topk": (
             "WITH e AS (SELECT vec_id,"
             "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"

@@ -161,6 +161,7 @@ def main() -> None:
         "ann_lsh_topk",
         "ann_lsh_multiseed",
         "ann_ivf_topk",
+        "ann_ivf_queries",
         "pipeline_clean_corpus",
         "pipeline_near_dedup",
         "text_stats",
