@@ -275,6 +275,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textkit.quality_score_col("text"),
             textkit.bpe_token_count_col("text"),
         ),
+        # deterministic shuffle-free train/val/test assignment (portable
+        # md5 bucket vs cumulative weight thresholds — stable across runs,
+        # partitionings and cluster sizes, unlike randomSplit)
+        "corpus_split": lambda s, d: _docs(s, d).select(
+            "doc_id", textkit.split_assign_col("doc_id")
+        ),
         # composed end-to-end training-data pipeline: exact dedup (keep min
         # doc_id per normalized text) -> quality gate -> per-doc stats, all
         # ONE declarative plan — one map-side-combined shuffle for the dedup
@@ -1314,6 +1320,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_cosine_bucketed": _bucketed_cosine_oracle(
             threshold=0.40, n_planes=6, seeds=(42, 43), dim=64
+        ),
+        "corpus_split": (
+            "SELECT doc_id, " + textkit.split_assign_sql("doc_id")
+            + " AS split FROM documents"
         ),
         "text_quality": (
             "WITH t AS (SELECT doc_id,"

@@ -170,3 +170,79 @@ def bpe_token_count_col(text) -> Column:
     ``len(regexp_extract_all(text, BPE_TOKEN_RE))`` in DuckDB — the pattern
     is written to the common Java/RE2 subset so both engines agree."""
     return F.regexp_count(_col(text), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens")
+
+
+SPLIT_GRANULARITY = 1_000_000
+
+
+def split_assign_col(
+    id_col="doc_id",
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+) -> Column:
+    """Deterministic, seed-stable train/val/test split assignment.
+
+    The standard shuffle-free way to split a 100 TB corpus: hash the
+    document id into [0, SPLIT_GRANULARITY) and compare against cumulative
+    weight thresholds. No sampling state, no shuffle, no ordering
+    dependence — the assignment is a pure projected expression, stable
+    across runs/partitionings/cluster sizes, and membership is computable
+    for a single id without touching the rest of the corpus (the property
+    randomSplit() does NOT have). Different `seed`s give independent
+    splits.
+
+    The hash is the portable md5-low-32 family (see dedup.hash64_col), so
+    a DuckDB/ANSI-SQL twin reproduces the exact assignment:
+    split_assign_sql() stays in lockstep.
+    """
+    assert len(weights) == len(names) and len(names) >= 2
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                9,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(SPLIT_GRANULARITY)
+    )
+    total = float(sum(weights))
+    cum = 0.0
+    expr = None
+    for w, nm in zip(weights[:-1], names[:-1]):
+        cum += w
+        thr = int(round(cum / total * SPLIT_GRANULARITY))
+        expr = (
+            F.when(h < thr, F.lit(nm))
+            if expr is None
+            else expr.when(h < thr, F.lit(nm))
+        )
+    return expr.otherwise(F.lit(names[-1])).alias("split")
+
+
+def split_assign_sql(
+    id_expr: str = "doc_id",
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of split_assign_col — keep in lockstep."""
+    h = (
+        f"(CAST(concat('0x', substring(md5(CAST({id_expr} AS VARCHAR)"
+        f" || ':{seed}'), 9, 8)) AS BIGINT) % {SPLIT_GRANULARITY})"
+    )
+    total = float(sum(weights))
+    cum = 0.0
+    cases = []
+    for w, nm in zip(weights[:-1], names[:-1]):
+        cum += w
+        thr = int(round(cum / total * SPLIT_GRANULARITY))
+        cases.append(f"WHEN {h} < {thr} THEN '{nm}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"

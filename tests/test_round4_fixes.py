@@ -272,6 +272,32 @@ def test_lsh_topk_external_queries_matches_numpy_reference(spark):
     assert got2 == ref([7, 8])
 
 
+def test_split_assign_deterministic_and_proportional(spark):
+    """split_assign_col: stable across partitionings, ratios track the
+    weights, and different seeds give (near-)independent assignments."""
+    from cdx_toolkit_spark import textkit
+
+    ids = spark.range(0, 20_000).select(F.col("id").alias("doc_id"))
+    a = ids.select("doc_id", textkit.split_assign_col("doc_id"))
+    b = ids.repartition(13).select(
+        "doc_id", textkit.split_assign_col("doc_id")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.90) < 0.01
+    assert abs(counts["val"] / 20_000 - 0.05) < 0.005
+    assert abs(counts["test"] / 20_000 - 0.05) < 0.005
+    # a different seed reassigns ~10% of train rows away (independence)
+    c = ids.select(
+        "doc_id", textkit.split_assign_col("doc_id", seed=7).alias("split2")
+    )
+    joined = a.join(c, "doc_id")
+    same = joined.where(F.col("split") == F.col("split2")).count()
+    # P(same) = 0.9^2 + 0.05^2 + 0.05^2 = 0.815 under independence
+    assert abs(same / 20_000 - 0.815) < 0.02
+
+
 def test_shared_shingles_match_per_kernel_explode(spark, sf_dir):
     """VERDICT r3 #3: passing a shared shingle_table frame must be
     result-identical to each kernel exploding its own."""
