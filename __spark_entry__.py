@@ -450,7 +450,16 @@ _SHINGLE_CACHE: dict = {}
 
 
 def _shared_shingles(s: SparkSession, d: str, docs: DataFrame) -> DataFrame:
-    key = (id(s), d)
+    # keyed on applicationId, not id(session): id() values can be reused
+    # after a stopped session is garbage-collected, which would hand a
+    # later session a frame bound to a dead SparkContext (ADVICE r4).
+    # Entries from other application ids are evicted — their contexts are
+    # gone, so the persisted blocks are already freed; this just drops the
+    # dead references.
+    app = s.sparkContext.applicationId
+    for stale in [k for k in _SHINGLE_CACHE if k[0] != app]:
+        _SHINGLE_CACHE.pop(stale, None)
+    key = (app, d)
     if key not in _SHINGLE_CACHE:
         _SHINGLE_CACHE[key] = dedup.shingle_table(docs, n=3).persist()
     return _SHINGLE_CACHE[key]

@@ -650,24 +650,11 @@ def lsh_bucketed_cosine_pairs(
                     )
         return pd.concat(outs) if outs else pd.DataFrame(_empty)
 
-    def pairs_stream(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_b = pdf["bucket"].iloc[-1]
-            is_last = pdf["bucket"].to_numpy() == last_b
-            carry = pdf[is_last]
-            done = pdf[~is_last]
-            if len(done):
-                yield _pairs_chunk(done)
-        if carry is not None and len(carry):
-            yield _pairs_chunk(carry)
+    from .similarity import _stream_buckets
 
     out = part.mapInPandas(
-        pairs_stream, "doc_a long, doc_b long, cosine double"
+        lambda batches: _stream_buckets(batches, _pairs_chunk),
+        "doc_a long, doc_b long, cosine double",
     )
     # multi-seed tables rediscover the same pair with cosines that can differ
     # in the last ulp (BLAS summation order depends on the bucket's GEMM

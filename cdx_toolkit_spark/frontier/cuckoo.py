@@ -175,6 +175,9 @@ class CuckooShardStore:
         # would miss previously inserted keys undetectably
         marker = os.path.join(path, _SCHEME_MARKER)
         if os.path.isfile(marker):
+            # an existing valid marker is READ-ONLY — never rewritten, so
+            # constructing a handle to probe an existing store needs no
+            # write access (ADVICE r4)
             with open(marker) as fd:
                 scheme = json.load(fd).get("index_scheme")
             if scheme != INDEX_SCHEME:
@@ -194,9 +197,21 @@ class CuckooShardStore:
                     "(scheme 1); this build uses scheme "
                     f"{INDEX_SCHEME} — rebuild the store"
                 )
-            os.makedirs(path, exist_ok=True)
-            with open(marker, "w") as fd:
-                json.dump({"index_scheme": INDEX_SCHEME}, fd)
+            # write the marker ATOMICALLY (temp file + rename): a reader
+            # can never observe a partially written JSON, and two
+            # concurrent constructors on a fresh path race benignly
+            # (last-writer-wins, both writing identical content). A
+            # read-only empty path is tolerated — the handle is usable for
+            # probing and the first (writable) build will write the marker
+            # (ADVICE r4).
+            try:
+                os.makedirs(path, exist_ok=True)
+                tmp = f"{marker}.tmp.{os.getpid()}"
+                with open(tmp, "w") as fd:
+                    json.dump({"index_scheme": INDEX_SCHEME}, fd)
+                os.replace(tmp, marker)
+            except OSError:
+                pass
 
     # -- versioning (same protocol as BloomShardStore) ---------------------
 

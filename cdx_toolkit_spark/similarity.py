@@ -34,6 +34,52 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def _stream_buckets(batches, chunk_fn, key: str = "bucket"):
+    """Drive a bucket-sorted Arrow batch stream through `chunk_fn`.
+
+    Buckets are contiguous AND ascending within a partition
+    (repartition(key) + sortWithinPartitions(key)), so every batch splits
+    into (prefix continuing the carried still-open bucket) + (complete
+    middle buckets) + (tail bucket, carried forward). Carried frames
+    accumulate in a LIST and concat exactly once when the bucket closes —
+    a hot bucket spanning B Arrow batches pays O(B) row copies, not the
+    O(B^2) of re-concatenating a growing carry onto each batch (ADVICE r4).
+    `chunk_fn` receives only COMPLETE buckets, sorted by `key`."""
+    carry: list = []
+    cb = None
+
+    def _close(frames):
+        return (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        bvals = pdf[key].to_numpy()
+        if cb is not None:
+            if bvals[0] == cb:
+                pref = bvals == cb
+                carry.append(pdf[pref])
+                if pref.all():
+                    continue  # bucket still open into the next batch
+                pdf = pdf[~pref]
+                bvals = bvals[~pref]
+            yield chunk_fn(_close(carry))
+            carry, cb = [], None
+        last_b = bvals[-1]
+        tail = bvals == last_b
+        done = pdf[~tail]
+        if len(done):
+            yield chunk_fn(done)
+        carry = [pdf[tail]]
+        cb = last_b
+    if carry:
+        yield chunk_fn(_close(carry))
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -120,6 +166,7 @@ def brute_force_topk(
     from .shipping import ensure_shipped
 
     ensure_shipped(embeddings.sparkSession)
+    self_mode = queries is None
     qdf = queries if queries is not None else embeddings
     n_base = n if n is not None else embeddings.count()
     n_q = (
@@ -175,8 +222,12 @@ def brute_force_topk(
                 qm = np.frombuffer(r.q_mat, dtype=np.float64).reshape(r.q_n, r.dim)
                 nm = np.frombuffer(r.n_mat, dtype=np.float64).reshape(r.n_n, r.dim)
                 sims = qm @ nm.T
-                # self-pairs out of contention
-                sims[q_ids[:, None] == n_ids[None, :]] = -np.inf
+                if self_mode:
+                    # self-pairs out of contention — self-kNN mode ONLY: an
+                    # external query set's ids are a separate namespace and
+                    # a coincidental equality must not hide a true neighbor
+                    # (ADVICE r4)
+                    sims[q_ids[:, None] == n_ids[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
                 # partial top-k per query row within this block pair.
                 # _pack_blocks stores ids ascending, so a STABLE sort on
@@ -279,6 +330,8 @@ def ivf_topk(
 
     ensure_shipped(embeddings.sparkSession)
     spark = embeddings.sparkSession
+    self_mode = queries is None
+    _persisted: list = []  # intermediates cached below; see release()
     spread = (
         (F.col("vid") % F.lit(2147483648)) * F.lit(2654435761)
     ) % F.lit(4294967296)
@@ -320,8 +373,11 @@ def ivf_topk(
     # and its unit vector, so scoring never re-reads the corpus
     if queries is not None:
         # two grids (corpus membership + query probes) consume the blob —
-        # persist so the hashed-sample centroid selection runs once
+        # persist so the hashed-sample centroid selection runs once.
+        # Tracked for release(): the cache block otherwise lives until
+        # session end (ADVICE r4).
         cent_blob = cent_blob.persist()
+        _persisted.append(cent_blob)
     blocks = _pack_blocks(base, "vid", "vec", n_blocks)
     grid = blocks.crossJoin(F.broadcast(cent_blob))
 
@@ -403,8 +459,9 @@ def ivf_topk(
             # lineage — without a persist the per-block centroid GEMM +
             # uvec packing runs twice (once per union branch), doubling the
             # very stage salting is meant to relieve. Lazy persist:
-            # composing still runs zero jobs.
+            # composing still runs zero jobs. Tracked for release().
             ranked = ranked.persist()
+            _persisted.append(ranked)
             probes = ranked.withColumn("salt", own_salt).withColumn(
                 "role",
                 F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1)),
@@ -472,7 +529,9 @@ def ivf_topk(
             )
             sims = qm @ nm.T
             qi = q_ids[lo:hi]
-            sims[qi[:, None] == n_ids[None, :]] = -np.inf
+            if self_mode:
+                # self-kNN mode only — see brute_force_topk (ADVICE r4)
+                sims[qi[:, None] == n_ids[None, :]] = -np.inf
             kk = min(k, sims.shape[1])
             part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             rows = np.repeat(qi, kk)
@@ -494,7 +553,7 @@ def ivf_topk(
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()
     )
-    return (
+    out = (
         partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -503,6 +562,24 @@ def ivf_topk(
             F.col("rank"),
         )
     )
+    # lazy persists above (centroid blob / salted assignment) stay cached
+    # for the session unless the caller hands the result to release()
+    # after materializing it (ADVICE r4)
+    out._cdx_persisted = _persisted
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist intermediate frames that building `df`'s plan cached
+    (ivf_topk's centroid blob / salted assignment, auto-salted LSH
+    stampings). Call AFTER the result is materialized — the persists are
+    lazy, so releasing earlier just recomputes them. Safe on any
+    DataFrame: a plan with no tracked persists is a no-op."""
+    for f in getattr(df, "_cdx_persisted", ()):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -598,6 +675,9 @@ def lsh_topk(
     )
     all_seeds = seeds if seeds else (seed,)
     has_roles = queries is not None
+    # self-pair suppression only applies in self-kNN mode — see the mask
+    # comment in _score_chunk. Query/corpus ids may overlap freely.
+    self_mode = queries is None
     if has_roles:
         qin = queries.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -675,7 +755,12 @@ def lsh_topk(
                 hi = min(lo + gemm_chunk, len(q_ids))
                 sims = qmat[lo:hi] @ nmat.T
                 qi = q_ids[lo:hi]
-                sims[qi[:, None] == n_ids[None, :]] = -np.inf
+                if self_mode:
+                    # suppress self-pairs. Applied ONLY in self-kNN mode:
+                    # with an external query set, query and corpus ids live
+                    # in separate namespaces, and a coincidental id equality
+                    # must not silently hide a true neighbor (ADVICE r4).
+                    sims[qi[:, None] == n_ids[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
                 top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
                 vals = np.take_along_axis(sims, top, axis=1).ravel()
@@ -693,24 +778,9 @@ def lsh_topk(
             }
         )
 
-    def topk_stream(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_b = pdf["bucket"].iloc[-1]
-            is_last = pdf["bucket"].to_numpy() == last_b
-            carry = pdf[is_last]
-            done = pdf[~is_last]
-            if len(done):
-                yield _score_chunk(done)
-        if carry is not None and len(carry):
-            yield _score_chunk(carry)
-
     scored = part.mapInPandas(
-        topk_stream, "q_id long, n_id long, cosine double"
+        lambda batches: _stream_buckets(batches, _score_chunk),
+        "q_id long, n_id long, cosine double",
     )
     if len(all_seeds) > 1:
         # a pair rediscovered by several tables must rank ONCE: dedupe on

@@ -1,0 +1,183 @@
+"""Round-5 ADVICE fixes: queries-mode equal-id mask removal, persist
+release(), the O(B) carry in the streamed bucket scorers, and the atomic
+read-only-safe cuckoo scheme marker."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdx_toolkit_spark import dedup, similarity
+
+
+def _collision_frames(spark, dim=8):
+    """Corpus + external query set whose id namespaces COLLIDE: query id 5
+    carries corpus row 7's exact vector. The true rank-1 neighbor of query
+    5 is corpus 5... no — corpus 7; and corpus 5 is a legitimate neighbor
+    candidate that the old equal-id mask silently suppressed (ADVICE r4)."""
+    rng = np.random.default_rng(77)
+    mat = rng.standard_normal((20, dim))
+    # make corpus row 5 the second-closest thing to corpus row 7's vector
+    mat[5] = mat[7] + 0.01 * rng.standard_normal(dim)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(5, [float(x) for x in mat[7]])],
+        "vec_id long, embedding array<double>",
+    )
+    return corpus, queries
+
+
+def test_brute_force_queries_mode_id_collision_not_masked(spark):
+    """External-query mode must NOT suppress a corpus neighbor whose id
+    happens to equal the query's id — the namespaces are independent."""
+    corpus, queries = _collision_frames(spark)
+    got = {
+        (r.rank): r.neighbor_id
+        for r in similarity.brute_force_topk(
+            corpus, k=2, queries=queries
+        ).collect()
+    }
+    # rank 1 = corpus 7 (identical vector), rank 2 = corpus 5 (the near
+    # copy) — under the old mask corpus 5 vanished because its id == 5
+    assert got[1] == 7
+    assert got[2] == 5
+
+
+def test_lsh_and_ivf_queries_mode_id_collision_not_masked(spark):
+    corpus, queries = _collision_frames(spark)
+    # full-coverage settings so the approximate paths see every candidate
+    lsh = {
+        r.rank: r.neighbor_id
+        for r in similarity.lsh_topk(
+            corpus, k=2, n_planes=1, seed=3, dim=8, queries=queries
+        ).collect()
+        if r.query_id == 5
+    }
+    ivf = {
+        r.rank: r.neighbor_id
+        for r in similarity.ivf_topk(
+            corpus, k=2, nlist=4, nprobe=4, queries=queries
+        ).collect()
+    }
+    assert ivf[1] == 7 and ivf[2] == 5
+    # n_planes=1 => 2 buckets; 7 and 5 are near-identical vectors so they
+    # share the query's bucket
+    assert lsh[1] == 7 and lsh[2] == 5
+
+
+def test_self_mode_still_masks_self_pairs(spark):
+    """Self-kNN keeps the self-pair suppression."""
+    corpus, _ = _collision_frames(spark)
+    for df in (
+        similarity.brute_force_topk(corpus, k=2),
+        similarity.lsh_topk(corpus, k=2, n_planes=1, seed=3, dim=8),
+        similarity.ivf_topk(corpus, k=2, nlist=4, nprobe=4),
+    ):
+        rows = df.collect()
+        assert rows, "expected results"
+        assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_ivf_release_unpersists_tracked_frames(spark):
+    """ivf_topk persists its centroid blob (queries mode) and salted
+    assignment (n_salts>1); release(df) must unpersist them (ADVICE r4)."""
+    corpus, queries = _collision_frames(spark)
+    out = similarity.ivf_topk(
+        corpus, k=2, nlist=4, nprobe=2, n_salts=2, queries=queries
+    )
+    out.collect()
+    tracked = out._cdx_persisted
+    assert tracked, "expected tracked persisted frames"
+    assert any(
+        f.storageLevel.useMemory or f.storageLevel.useDisk for f in tracked
+    )
+    similarity.release(out)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+        for f in tracked
+    )
+    # release is a safe no-op on plans with nothing tracked
+    similarity.release(similarity.brute_force_topk(corpus, k=2))
+
+
+def test_stream_buckets_concat_once_per_bucket():
+    """The carry accumulates frames in a list and concats ONCE when the
+    bucket closes: a bucket spanning B batches costs O(B) row copies. Unit
+    check: chunk_fn sees each bucket exactly once, complete, in order."""
+    seen = []
+
+    def chunk(pdf):
+        for b, grp in pdf.groupby("bucket", sort=True):
+            seen.append((int(b), len(grp), list(grp["v"])))
+        return pdf.iloc[:0]
+
+    # bucket 1 spans three batches; 2 and 3 are batch-internal; 4 tails
+    batches = [
+        pd.DataFrame({"bucket": [1, 1, 1], "v": [0, 1, 2]}),
+        pd.DataFrame({"bucket": [1, 1], "v": [3, 4]}),
+        pd.DataFrame({"bucket": [1, 2, 2, 3], "v": [5, 6, 7, 8]}),
+        pd.DataFrame({"bucket": [4], "v": [9]}),
+    ]
+    list(similarity._stream_buckets(iter(batches), chunk))
+    assert seen == [
+        (1, 6, [0, 1, 2, 3, 4, 5]),
+        (2, 2, [6, 7]),
+        (3, 1, [8]),
+        (4, 1, [9]),
+    ]
+
+
+def test_bucketed_cosine_pairs_hot_bucket_tiny_batches(spark):
+    """End-to-end: one dominant bucket spanning many tiny Arrow batches
+    must produce identical pairs to default batching (the list-carry
+    rewrite preserves the r4 carry semantics)."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(12)
+    rows = [
+        (i, [float(x) for x in base + 0.03 * rng.standard_normal(12)])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+    kw = dict(threshold=0.9, n_planes=2, seeds=(7,), dim=12)
+    baseline = sorted(
+        map(tuple, dedup.lsh_bucketed_cosine_pairs(emb, **kw).collect())
+    )
+    assert baseline, "expected near-dup pairs"
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "5")
+        tiny = sorted(
+            map(tuple, dedup.lsh_bucketed_cosine_pairs(emb, **kw).collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert tiny == baseline
+
+
+def test_cuckoo_marker_atomic_and_reused_readonly(spark, tmp_path):
+    """Marker is written via temp+rename (no partial JSON observable, no
+    temp droppings) and an existing valid marker is never rewritten."""
+    from cdx_toolkit_spark.frontier.cuckoo import (
+        _SCHEME_MARKER,
+        CuckooShardStore,
+    )
+
+    path = str(tmp_path / "store")
+    CuckooShardStore(spark, path, n_shards=2, capacity=1 << 10)
+    marker = os.path.join(path, _SCHEME_MARKER)
+    assert os.path.isfile(marker)
+    assert not [f for f in os.listdir(path) if ".tmp." in f]
+    before = os.stat(marker).st_mtime_ns
+    CuckooShardStore(spark, path, n_shards=2, capacity=1 << 10)
+    assert os.stat(marker).st_mtime_ns == before
