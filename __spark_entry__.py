@@ -306,6 +306,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collapse — SQL-expressible, unlike union-find), then the quality
         # gate — ONE declarative plan spanning three operator families
         "pipeline_near_dedup": lambda s, d: _pipeline_near_dedup(s, d),
+        # the same composed pipeline on the PRODUCTION minhash path
+        # (xxhash64 base hash — what a deployment runs; kernel pinned by
+        # tests/test_round5_fixes.py against a Python xxhash64 reference).
+        # No oracle entry by design: xxhash64 is not reproducible in DuckDB
+        # SQL; the portable twin above carries the full value-hash oracle
+        # and the verify stage is hash-free exact Jaccard in both.
+        "pipeline_near_dedup_prod": lambda s, d: _pipeline_near_dedup(
+            s, d, portable=False
+        ),
         # --- similarity search ----------------------------------------------
         "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), k=5, n=_pq_rows(f"{d}/embeddings.parquet"),
@@ -465,10 +474,16 @@ def _shared_shingles(s: SparkSession, d: str, docs: DataFrame) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
-def _pipeline_near_dedup(s: SparkSession, d: str) -> DataFrame:
+def _pipeline_near_dedup(
+    s: SparkSession, d: str, portable: bool = True
+) -> DataFrame:
     """LSH candidates ∩ exact-Jaccard-verified pairs -> drop doc_b (the
     larger id), keep survivors passing the quality gate. Returns
-    (doc_id, n_tokens, quality)."""
+    (doc_id, n_tokens, quality). portable=False swaps the md5-derived
+    minhash base for the xxhash64 production kernel (pinned against a
+    Python reference in tests/test_round5_fixes.py); the verify stage is
+    hash-free exact Jaccard either way, so only the CANDIDATE set can
+    differ between the twins."""
     docs = _docs(s, d)
     # the tokenize+shingle explode is the pipeline's cost floor — build it
     # ONCE and persist; both the LSH candidate stage and the Jaccard
@@ -479,7 +494,8 @@ def _pipeline_near_dedup(s: SparkSession, d: str) -> DataFrame:
     # accumulating a fresh persisted explosion per call.
     shingles = _shared_shingles(s, d, docs)
     cand = dedup.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, n=3, portable=True, shingles=shingles
+        docs, num_hashes=64, bands=16, n=3, portable=portable,
+        shingles=shingles,
     )
     # verify ONLY the candidates (dedup.verify_jaccard_pairs) — work scales
     # with |candidates|, not the full co-shingled pair space

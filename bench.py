@@ -102,11 +102,16 @@ def bench_frontier_epochs(spark, n_urls: int, overlap: bool) -> tuple[float, int
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def bench_frontier_stream(spark, n_urls: int) -> tuple[float, int, list[float]]:
+def bench_frontier_stream(
+    spark, n_urls: int, files_per_batch: int = 2
+) -> tuple[float, int, list[float]]:
     """ST-1 streaming cadence (VERDICT r3 #6): an AvailableNow readStream
-    over 6 candidate parquet files, maxFilesPerTrigger=2 => 3 micro-batches
-    through the same epoch pipeline with bookkeeping overlapped; per-batch
-    wall comes from the query's own progress log (triggerExecution)."""
+    over 6 candidate parquet files through the same epoch pipeline with
+    bookkeeping overlapped; per-batch wall comes from the query's own
+    progress log (triggerExecution). `files_per_batch` of 2/3/6 yields
+    3/2/1 micro-batches over the SAME input — the micro-batch fixed-cost
+    curve the r4 verdict asked for (batch size is the latency/throughput
+    knob; throughput should converge to the batch drain as batches grow)."""
     from cdx_toolkit_spark.frontier.scheduler import FrontierDrain
     from cdx_toolkit_spark.frontier.stream import drain_stream
 
@@ -122,7 +127,7 @@ def bench_frontier_stream(spark, n_urls: int) -> tuple[float, int, list[float]]:
         t0 = time.monotonic()
         q = drain_stream(
             spark, cand_dir, drain, robots=robots,
-            max_files_per_batch=2, overlap=True,
+            max_files_per_batch=files_per_batch, overlap=True,
         )
         q.awaitTermination()
         drain.flush()
@@ -164,6 +169,7 @@ def main() -> None:
         "ann_ivf_queries",
         "pipeline_clean_corpus",
         "pipeline_near_dedup",
+        "pipeline_near_dedup_prod",
         "text_stats",
         "events_daily_counts",
         "warc_ingest",
@@ -188,11 +194,17 @@ def main() -> None:
     # its first execution — warm it like the rest of the JVM paths
     force(qs["politeness_schedule"](spark, SF_DIR))
 
+    from cdx_toolkit_spark import similarity
+
     times: dict[str, float] = {}
     for name in headline:
         t0 = time.monotonic()
-        force(qs[name](spark, SF_DIR))
+        df = qs[name](spark, SF_DIR)
+        force(df)
         times[name] = round(time.monotonic() - t0, 3)
+        # drop any intermediates the plan persisted (ivf centroid blob /
+        # salted assignment) — no-op for plans with nothing tracked
+        similarity.release(df)
 
     sf = sf_of(SF_DIR)
     n_urls = max(int(5_000_000 * sf), 10_000)
@@ -208,9 +220,33 @@ def main() -> None:
     dtp, n_p = bench_frontier_epochs(spark, n_urls, overlap=True)
     times["frontier_pipelined_3ep"] = round(dtp, 3)
     steady_ups = n_p / dtp if dtp > 0 else 0.0
-    # streaming cadence (ST-1): AvailableNow micro-batches, per-batch wall
-    dtq, n_q, batch_walls = bench_frontier_stream(spark, n_urls)
-    times["frontier_stream_availnow"] = round(dtq, 3)
+    # streaming cadence (ST-1): AvailableNow micro-batches at THREE batch
+    # sizes over the same input (3/2/1 batches) — the per-batch fixed-cost
+    # curve; throughput should climb toward the batch drain as batch size
+    # grows (VERDICT r4 #4)
+    stream_points = []
+    for fpb, n_batches in ((2, 3), (3, 2), (6, 1)):
+        dtq, n_q, batch_walls = bench_frontier_stream(
+            spark, n_urls, files_per_batch=fpb
+        )
+        stream_points.append(
+            {
+                "files_per_batch": fpb,
+                "n_batches": n_batches,
+                "wall_sec": round(dtq, 3),
+                "urls_scheduled": n_q,
+                "urls_per_sec": round(n_q / dtq if dtq > 0 else 0.0, 1),
+                "batch_walls_sec": batch_walls,
+            }
+        )
+    dtq, n_q, batch_walls = (
+        stream_points[0]["wall_sec"],
+        stream_points[0]["urls_scheduled"],
+        stream_points[0]["batch_walls_sec"],
+    )
+    times["frontier_stream_availnow"] = stream_points[0]["wall_sec"]
+    times["frontier_stream_2batch"] = stream_points[1]["wall_sec"]
+    times["frontier_stream_1batch"] = stream_points[2]["wall_sec"]
 
     total = round(sum(times.values()), 3)
     print(
@@ -239,6 +275,7 @@ def main() -> None:
                     n_q / dtq if dtq > 0 else 0.0, 1
                 ),
                 "frontier_stream_batch_walls_sec": batch_walls,
+                "frontier_stream_points": stream_points,
             }
         )
     )

@@ -165,6 +165,90 @@ def test_bucketed_cosine_pairs_hot_bucket_tiny_batches(spark):
     assert tiny == baseline
 
 
+def _minhash_fixture_docs(spark):
+    """50 base docs + 50 near-duplicates (one token changed out of 30 —
+    n-gram Jaccard ~0.8): the candidate-recall ground truth is dense and
+    fully deterministic."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(50):
+        toks = [str(t) for t in rng.choice(vocab, size=30)]
+        rows.append((2 * i, " ".join(toks)))
+        dup = list(toks)
+        dup[7] = f"zz{i}"
+        rows.append((2 * i + 1, " ".join(dup)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_prod_matches_python_reference(spark):
+    """VERDICT r4 #1: the production minhash kernel (ONE xxhash64 base hash
+    truncated to its low 32 bits + the shared affine rehash family) was
+    rewritten in r4 with no oracle (xxhash64 is not reproducible in DuckDB)
+    and no pytest. Pin it against a driver-side Python reference: Spark's
+    own xxhash64 evaluated on a literal shingle frame, then the low-32
+    truncation / affine / min logic recomputed in plain Python ints."""
+    from cdx_toolkit_spark.dedup import MERSENNE31, affine_consts
+
+    docs = _minhash_fixture_docs(spark)
+    k = 64
+    sig = dedup.minhash_signatures(docs, num_hashes=k, n=3, portable=False)
+    got = {
+        r["doc"]: [r[f"mh_{j}"] for j in range(k)] for r in sig.collect()
+    }
+    sh = dedup.shingle_table(docs, n=3).collect()
+    uniq = sorted({r.shingle for r in sh})
+    hrows = (
+        docs.sparkSession.createDataFrame(
+            [(s,) for s in uniq], "shingle string"
+        )
+        .select("shingle", F.xxhash64("shingle").alias("h"))
+        .collect()
+    )
+    # Python & on a negative int yields the same non-negative low 32 bits
+    # as Spark's bitwiseAND(lit(0xFFFFFFFF)) on the signed long
+    h32 = {r.shingle: r.h & 0xFFFFFFFF for r in hrows}
+    consts = affine_consts(k)
+    expect: dict = {}
+    for r in sh:
+        base = h32[r.shingle]
+        vals = expect.setdefault(r.doc, [None] * k)
+        for j, (a, b) in enumerate(consts):
+            v = (base * a + b) % MERSENNE31
+            if vals[j] is None or v < vals[j]:
+                vals[j] = v
+    assert got == expect
+
+
+def test_minhash_prod_recall_matches_portable(spark):
+    """The prod LSH candidate set must reach the same verified-Jaccard
+    recall as the oracle-checked portable twin at equal (num_hashes,
+    bands) — the banding logic is shared, this pins the base-hash swap."""
+    docs = _minhash_fixture_docs(spark)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold_num=7, threshold_den=10
+        ).collect()
+    }
+    assert len(truth) >= 40, "fixture must contain verified near-dup pairs"
+    prod = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, n=3, portable=False
+        ).collect()
+    }
+    port = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, n=3, portable=True
+        ).collect()
+    }
+    recall_prod = len(prod & truth) / len(truth)
+    recall_port = len(port & truth) / len(truth)
+    assert recall_prod == recall_port == 1.0
+
+
 def test_cuckoo_marker_atomic_and_reused_readonly(spark, tmp_path):
     """Marker is written via temp+rename (no partial JSON observable, no
     temp droppings) and an existing valid marker is never rewritten."""
