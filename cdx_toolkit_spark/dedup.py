@@ -552,10 +552,23 @@ def lsh_bucketed_cosine_pairs(
     vec_col: str = "embedding",
     max_block: int = 4096,
     dim: int | None = None,
+    hot_bucket_rows: int | str = 0,
 ) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH bucket, then exact
     cosine only WITHIN buckets. Pass `dim` so composing runs zero Spark
     jobs; omitted, a first() sniff runs as a fallback (VERDICT r2 #4).
+
+    `hot_bucket_rows` ("auto" => threshold 4*max_block, or an explicit row
+    count) splits buckets above the threshold into (bucket, salt)
+    sub-groups via similarity._apply_hot_salts — ceil(n/thr)-way task
+    parallelism for a pathological bucket (near-identical boilerplate
+    embeddings) at the price of replicating its member payload. Sizing
+    comes from a bucket histogram: ONE compose-time Spark job, the
+    documented exception to zero-job composition (VERDICT r4 #2). Pair
+    output is identical with salting on or off (pytest-pinned): within a
+    hot bucket each (a, b) pair scores exactly once — a's probe copy lives
+    in one salt, b's member copies in all — and the doc_a < doc_b filter
+    keeps the canonical orientation.
 
     This is the composition `embedding_cosine_pairs`'s docstring promises:
     the O(n^2) block grid collapses to sum(bucket^2) — at 10^9 vectors with
@@ -598,6 +611,18 @@ def lsh_bucketed_cosine_pairs(
         s = s.withColumn("bucket", F.col("bucket") + F.lit(si << n_planes))
         stamped = s if stamped is None else stamped.unionByName(s)
 
+    salted = False
+    if hot_bucket_rows:
+        from .similarity import _apply_hot_salts, _hot_bucket_salts
+
+        thr = (
+            4 * max_block if hot_bucket_rows == "auto" else int(hot_bucket_rows)
+        )
+        hot = _hot_bucket_salts(stamped, thr)
+        if hot:
+            stamped = _apply_hot_salts(stamped, hot, has_roles=False)
+            salted = True
+
     # Pair emission streams bucket-sorted partitions through mapInPandas
     # rather than groupBy().applyInPandas (r4): grouped-UDF execution pays
     # a per-GROUP pandas construction + call — pure overhead when buckets
@@ -616,6 +641,7 @@ def lsh_bucketed_cosine_pairs(
     def _pairs_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         buckets = pdf["bucket"].to_numpy()
         ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
+        roles_all = pdf["role"].to_numpy() if salted else None
         mat_all = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
@@ -627,6 +653,39 @@ def lsh_bucketed_cosine_pairs(
         outs = []
         for gi in range(len(bounds) - 1):
             s, e = bounds[gi], bounds[gi + 1]
+            if salted:
+                r = roles_all[s:e]
+                if not (r == 3).all():
+                    # hot-bucket sub-group: probe rows vs replicated
+                    # members; doc_a < doc_b keeps each unordered pair
+                    # exactly once across salts (a's probe copy exists in
+                    # ONE salt; b's member copies in all)
+                    m = np.flatnonzero((r & 2) != 0)
+                    p = np.flatnonzero((r & 1) != 0)
+                    if not len(m) or not len(p):
+                        continue
+                    m_ids = ids_all[s:e][m]
+                    m_mat = mat_all[s:e][m]
+                    p_ids = ids_all[s:e][p]
+                    p_mat = mat_all[s:e][p]
+                    for lo in range(0, len(p_ids), max_block):
+                        hi = min(lo + max_block, len(p_ids))
+                        sims = p_mat[lo:hi] @ m_mat.T
+                        ii, jj = np.where(sims >= threshold)
+                        da = p_ids[lo:hi][ii]
+                        db = m_ids[jj]
+                        keep = da < db
+                        if keep.any():
+                            outs.append(
+                                pd.DataFrame(
+                                    {
+                                        "doc_a": da[keep],
+                                        "doc_b": db[keep],
+                                        "cosine": sims[ii, jj][keep],
+                                    }
+                                )
+                            )
+                    continue
             if e - s < 2:
                 continue
             order = np.argsort(ids_all[s:e])

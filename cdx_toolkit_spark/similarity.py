@@ -80,6 +80,74 @@ def _stream_buckets(batches, chunk_fn, key: str = "bucket"):
         yield chunk_fn(_close(carry))
 
 
+def _hot_bucket_salts(stamped: DataFrame, thr: int, cap: int = 64) -> dict:
+    """{bucket: n_salts} for buckets holding more than `thr` rows, sized so
+    each (bucket, salt) sub-group targets <= thr probe rows (capped at
+    `cap` splits). ONE map-side-combined count over the stamped frame —
+    this is the documented compose-time Spark job of auto-salting (the
+    histogram IS the auto-sizing work; zero-job composition is preserved
+    only when salting is off). The result is tiny by definition: only
+    buckets above thr appear."""
+    rows = (
+        stamped.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > thr)
+        .collect()
+    )
+    return {int(r["bucket"]): min(cap, -(-int(r["n"]) // thr)) for r in rows}
+
+
+def _apply_hot_salts(
+    stamped: DataFrame, hot: dict, has_roles: bool
+) -> DataFrame:
+    """Split hot buckets into (bucket, salt) sub-groups — the ivf_topk
+    n_salts mechanism applied per bucket: probe rows scatter to their own
+    pmod(xxhash64(id), ns) salt; member rows replicate to every salt, so
+    every (probe, member) pair meets in exactly one sub-group. Cold
+    buckets pass through untouched (salt 0) with role 3 (member+probe).
+    The composite key `bucket * (max_ns + 1) + salt` replaces `bucket` so
+    the downstream streamed scorer needs no schema change; hot-bucket task
+    parallelism becomes ns-way at the price of replicating the member
+    payload ns times (VERDICT r4 #2)."""
+    spark = stamped.sparkSession
+    cap = max(hot.values())
+    hot_df = spark.createDataFrame(
+        sorted(hot.items()), "bucket long, ns int"
+    )
+    base = stamped if has_roles else stamped.withColumn("role", F.lit(3))
+    base = base.join(F.broadcast(hot_df), "bucket", "left").withColumn(
+        "ns", F.coalesce(F.col("ns"), F.lit(1))
+    )
+    cold = base.where(F.col("ns") == 1).withColumn("salt", F.lit(0))
+    own = F.pmod(
+        F.xxhash64(F.col("vec_id")), F.col("ns").cast("long")
+    ).cast("int")
+    hot_probes = (
+        base.where(
+            (F.col("ns") > 1) & (F.col("role").bitwiseAND(F.lit(1)) != 0)
+        )
+        .withColumn("salt", own)
+        .withColumn("role", F.lit(1))
+    )
+    hot_members = (
+        base.where(
+            (F.col("ns") > 1) & (F.col("role").bitwiseAND(F.lit(2)) != 0)
+        )
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
+        )
+        .withColumn("role", F.lit(2))
+    )
+    return (
+        cold.unionByName(hot_probes)
+        .unionByName(hot_members)
+        .withColumn(
+            "bucket", F.col("bucket") * F.lit(cap + 1) + F.col("salt")
+        )
+        .drop("ns", "salt")
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -275,8 +343,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm_chunk: int = 4096,
-    n_salts: int = 1,
+    n_salts: int | str = 1,
     queries: DataFrame | None = None,
+    auto_salt_rows: int = 8192,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize every vector to its
     nearest of `nlist` centroids, probe the `nprobe` nearest lists per
@@ -316,7 +385,10 @@ def ivf_topk(
          time (never the whole list), and `n_salts > 1` scatters probe
          rows across (list_id, salt) sub-groups with members replicated
          to each — n_salts-way task parallelism for a hot list at the
-         price of replicating the member payload;
+         price of replicating the member payload. `n_salts="auto"` sizes
+         the split from the data: one map-side-combined per-list count
+         (the ONE compose-time Spark job of auto mode; see VERDICT r4 #2)
+         splits the largest list to ~`auto_salt_rows` members per task;
       4. a global window merges per-list partials into the final top-k
          (salt-agnostic: each probe/member pair scores in exactly one
          sub-group).
@@ -435,6 +507,26 @@ def ivf_topk(
     ranked = grid.mapInPandas(
         make_assign(nprobe if queries is None else 1), _RANKED_SCHEMA
     )
+    ranked_persisted = False
+    if n_salts == "auto":
+        # size hot-list parallelism from the data instead of a caller knob
+        # (VERDICT r4 #2): persist the assignment (it is consumed by the
+        # histogram AND the scoring plan), one map-side-combined count per
+        # list, split the largest list to ~auto_salt_rows member rows per
+        # (list, salt) task. This runs ONE Spark job at compose — the
+        # documented exception to the zero-job-compose contract (pass an
+        # integer n_salts to keep composition job-free).
+        ranked = ranked.persist()
+        _persisted.append(ranked)
+        ranked_persisted = True
+        mx = (
+            ranked.where(F.col("crank") == 1)
+            .groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        n_salts = max(1, min(64, -(-int(mx or 0) // auto_salt_rows)))
     # -- 3. per-list chunked GEMM + partial top-k (the dedup
     # lsh_bucketed_cosine_pairs memory-bounding pattern). One plain groupBy
     # on `ranked` — each group carries BOTH roles, encoded in a bitmask
@@ -460,8 +552,10 @@ def ivf_topk(
             # uvec packing runs twice (once per union branch), doubling the
             # very stage salting is meant to relieve. Lazy persist:
             # composing still runs zero jobs. Tracked for release().
-            ranked = ranked.persist()
-            _persisted.append(ranked)
+            # (already persisted when the auto histogram sized n_salts)
+            if not ranked_persisted:
+                ranked = ranked.persist()
+                _persisted.append(ranked)
             probes = ranked.withColumn("salt", own_salt).withColumn(
                 "role",
                 F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1)),
@@ -566,6 +660,9 @@ def ivf_topk(
     # for the session unless the caller hands the result to release()
     # after materializing it (ADVICE r4)
     out._cdx_persisted = _persisted
+    # resolved salt count (== the input unless n_salts="auto"): lets tests
+    # and operators introspect what the histogram chose
+    out._cdx_n_salts = n_salts
     return out
 
 
@@ -624,8 +721,22 @@ def lsh_topk(
     gemm_chunk: int = 4096,
     seeds: tuple[int, ...] | None = None,
     queries: DataFrame | None = None,
+    hot_bucket_rows: int | str = 0,
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket; exact cosine re-rank inside.
+
+    `hot_bucket_rows` bounds per-task bucket payloads (VERDICT r4 #2): the
+    streamed scorer otherwise holds one whole bucket in a single task's
+    pandas frame, so a pathological bucket (boilerplate near-identical
+    embeddings, the all-zero bucket) is a straggler/OOM risk at scale.
+    Pass "auto" (threshold 4*gemm_chunk) or an explicit row threshold: a
+    bucket histogram (ONE map-side-combined count job at compose — the
+    documented exception to zero-job composition) sizes per-bucket salts,
+    probe rows scatter across (bucket, salt) sub-groups and member rows
+    replicate to each, so a hot bucket scores in ceil(n/thr)-way parallel
+    tasks with per-task probe rows ~thr. 0 (default) keeps the zero-job
+    compose contract and single-task-per-bucket behavior; results are
+    IDENTICAL either way (pytest-pinned).
 
     `queries` searches the corpus with an EXTERNAL query set (see
     ivf_topk): query vectors are stamped with the same hyperplanes and
@@ -695,6 +806,22 @@ def lsh_topk(
             s = s.withColumn("bucket", F.col("bucket") + F.lit(si << n_planes))
         stamped = s if stamped is None else stamped.unionByName(s)
 
+    salted = False
+    if hot_bucket_rows:
+        thr = (
+            4 * gemm_chunk
+            if hot_bucket_rows == "auto"
+            else int(hot_bucket_rows)
+        )
+        hot = _hot_bucket_salts(stamped, thr)
+        if hot:
+            # NOTE the stamp matmul runs twice in this mode (histogram +
+            # scoring) — deliberately cheaper at scale than persisting the
+            # whole vector payload across the shuffle
+            stamped = _apply_hot_salts(stamped, hot, has_roles)
+            salted = True
+    use_roles = has_roles or salted
+
     # Scoring runs as mapInPandas over bucket-hash-partitioned, bucket-
     # sorted rows rather than groupBy().applyInPandas: with 2^n_planes
     # buckets over a modest corpus most buckets hold a handful of vectors,
@@ -721,7 +848,7 @@ def lsh_topk(
         (role 2, the corpus) and probe rows (role 1, the queries)."""
         buckets = pdf["bucket"].to_numpy()
         ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
-        roles_all = pdf["role"].to_numpy() if has_roles else None
+        roles_all = pdf["role"].to_numpy() if use_roles else None
         mat_all = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
@@ -733,10 +860,13 @@ def lsh_topk(
         rows_l, cols_l, vals_l = [], [], []
         for gi in range(len(bounds) - 1):
             s, e = bounds[gi], bounds[gi + 1]
-            if has_roles:
+            if use_roles:
+                # bitmask roles (bit 1 = probe, bit 2 = member): external
+                # queries use 1/2; salted self-kNN uses 3 in cold buckets
+                # and 1/2 in hot sub-groups
                 r = roles_all[s:e]
-                m = np.flatnonzero(r == 2)
-                p = np.flatnonzero(r == 1)
+                m = np.flatnonzero((r & 2) != 0)
+                p = np.flatnonzero((r & 1) != 0)
                 if not len(m) or not len(p):
                     continue
                 order = np.argsort(ids_all[s:e][m])  # members ascending =>

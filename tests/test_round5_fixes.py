@@ -165,6 +165,117 @@ def test_bucketed_cosine_pairs_hot_bucket_tiny_batches(spark):
     assert tiny == baseline
 
 
+def _hot_bucket_embeddings(spark, n_hot=150, n_cold=150, dim=16):
+    """~50% of rows share one LSH bucket: n_hot vectors clustered around a
+    single direction (tiny distinct perturbations, so cosines are distinct
+    and rank order is ulp-stable) + n_cold spread randomly."""
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal(dim)
+    rows = []
+    for i in range(n_hot):
+        rows.append(
+            (i, [float(x) for x in base + 0.05 * rng.standard_normal(dim)])
+        )
+    for i in range(n_cold):
+        rows.append(
+            (n_hot + i, [float(x) for x in rng.standard_normal(dim)])
+        )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+
+
+def test_lsh_topk_auto_salt_equals_unsalted(spark):
+    """VERDICT r4 #2: hot-bucket salting derived from the bucket histogram
+    must leave results bit-identical to the single-task-per-bucket plan."""
+    emb = _hot_bucket_embeddings(spark)
+    kw = dict(k=4, n_planes=4, seed=13, dim=16)
+    plain = sorted(map(tuple, similarity.lsh_topk(emb, **kw).collect()))
+    auto = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(emb, **kw, hot_bucket_rows=32).collect(),
+        )
+    )
+    assert auto == plain
+
+
+def test_hot_bucket_salting_splits_into_bounded_subgroups(spark):
+    """The structural claim behind auto-salting: a bucket holding ~50% of
+    all rows is split into >1 (bucket, salt) sub-groups, each scoring a
+    bounded probe slice (members replicated)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = _hot_bucket_embeddings(spark)
+    base = emb.select("vec_id", "embedding")
+    schema = StructType(
+        list(base.schema.fields) + [StructField("bucket", LongType())]
+    )
+    stamped = base.mapInPandas(
+        similarity.lsh_bucket_udf(16, 4, 13), schema
+    )
+    thr = 32
+    hot = similarity._hot_bucket_salts(stamped, thr)
+    assert hot, "fixture must produce at least one hot bucket"
+    hot_bucket, ns = max(hot.items(), key=lambda kv: kv[1])
+    assert ns > 1
+    salted = similarity._apply_hot_salts(stamped, hot, has_roles=False)
+    cap = max(hot.values())
+    probe_counts = {
+        r["bucket"]: r["n"]
+        for r in salted.where(F.col("role").bitwiseAND(F.lit(1)) != 0)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sub = {
+        b: c
+        for b, c in probe_counts.items()
+        if b // (cap + 1) == hot_bucket
+    }
+    assert len(sub) == ns, f"expected {ns} sub-groups, got {len(sub)}"
+    # hash scatter is approximately balanced — each sub-group's probe
+    # slice must be well under the whole bucket and near thr
+    assert all(c <= 2 * thr for c in sub.values()), sub
+
+
+def test_ivf_auto_salts_hot_list_and_matches_unsalted(spark):
+    """n_salts='auto' must size the split from the per-list histogram
+    (>1 for a list holding most of the corpus) and leave results
+    identical to the unsalted plan."""
+    emb = _hot_bucket_embeddings(spark, n_hot=260, n_cold=40)
+    kw = dict(k=3, nlist=4, nprobe=4)
+    plain = sorted(map(tuple, similarity.ivf_topk(emb, **kw).collect()))
+    auto_df = similarity.ivf_topk(
+        emb, **kw, n_salts="auto", auto_salt_rows=64
+    )
+    auto = sorted(map(tuple, auto_df.collect()))
+    assert auto_df._cdx_n_salts > 1
+    assert auto == plain
+    similarity.release(auto_df)
+
+
+def test_bucketed_pairs_auto_salt_equals_unsalted(spark):
+    emb = _hot_bucket_embeddings(spark)
+    kw = dict(threshold=0.9, n_planes=3, seeds=(13,), dim=16)
+    plain = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in dedup.lsh_bucketed_cosine_pairs(emb, **kw).collect()
+    }
+    auto = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in dedup.lsh_bucketed_cosine_pairs(
+            emb, **kw, hot_bucket_rows=32
+        ).collect()
+    }
+    assert plain, "fixture must produce near-dup pairs"
+    assert set(auto) == set(plain)
+    # GEMM shapes differ between the salted and symmetric paths, so allow
+    # last-ulp drift on the cosine itself
+    for key, c in auto.items():
+        assert abs(c - plain[key]) < 1e-9
+
+
 def _minhash_fixture_docs(spark):
     """50 base docs + 50 near-duplicates (one token changed out of 30 —
     n-gram Jaccard ~0.8): the candidate-recall ground truth is dense and
