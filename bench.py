@@ -206,6 +206,19 @@ def main() -> None:
         # salted assignment) — no-op for plans with nothing tracked
         similarity.release(df)
 
+    # auto-salted IVF (hot-list parallelism sized from the per-list
+    # histogram): benched OUTSIDE queries() because auto mode runs its one
+    # histogram job at compose, which the zero-job-compose contract for
+    # driver entries forbids — timing includes that histogram, honestly
+    t0 = time.monotonic()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    auto_df = similarity.ivf_topk(
+        emb, k=5, nlist=64, nprobe=8, n_salts="auto", auto_salt_rows=8192
+    )
+    force(auto_df)
+    times["ann_ivf_auto_salt"] = round(time.monotonic() - t0, 3)
+    similarity.release(auto_df)
+
     sf = sf_of(SF_DIR)
     n_urls = max(int(5_000_000 * sf), 10_000)
     # frontier_drain: the SAME single-cold-epoch 500k config r1/r2 recorded
