@@ -29,6 +29,7 @@ from pyspark.sql import Window
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
 from cdx_toolkit_spark import dedup, render, similarity, textkit, multimodal
+from cdx_toolkit_spark import winnow
 from cdx_toolkit_spark import ingest
 from cdx_toolkit_spark import warc as warcmod
 
@@ -274,6 +275,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             textkit.quality_score_col("text"),
             textkit.bpe_token_count_col("text"),
+        ),
+        # trigram-profile language ID (Cavnar–Trenkle-style): per-language
+        # occurrence scores against literal profile arrays + argmax label —
+        # pure unrolled column expressions, profiles are plan literals
+        "text_lang_id": lambda s, d: _docs(s, d).select(
+            "doc_id", *textkit.lang_id_cols("text")
+        ),
+        # MOSS winnowing (SIGMOD'03): Karp–Rabin rolling-hash k-grams +
+        # window-min fingerprint selection, one let-bound narrow projection
+        "fingerprint_winnow": lambda s, d: winnow.winnow_fingerprint_table(
+            _docs(s, d), k=8, w=8
+        ),
+        # near-dup pairs by winnowing-fingerprint set overlap (inverted
+        # index self-join on fp, integer-exact Jaccard, ubiquitous-fp cap)
+        "dedup_winnow_overlap": lambda s, d: winnow.winnow_overlap_pairs(
+            _docs(s, d), k=8, w=8, threshold_num=1, threshold_den=4,
+            max_doc_freq=100,
         ),
         # deterministic shuffle-free train/val/test assignment (portable
         # md5 bucket vs cumulative weight thresholds — stable across runs,
@@ -1366,6 +1384,14 @@ def oracle_sql() -> dict[str, str]:
             "           ELSE 0.0 END)), 6) AS quality,"
             "  nbpe AS n_bpe_tokens "
             "FROM t"
+        ),
+        "text_lang_id": textkit.lang_id_sql(),
+        "fingerprint_winnow": (
+            winnow.winnow_fingerprint_sql(8, 8)
+            + "\nSELECT doc_id, pos, fp FROM fp"
+        ),
+        "dedup_winnow_overlap": winnow.winnow_overlap_sql(
+            8, 8, 1, 4, max_doc_freq=100
         ),
         "text_stats": (
             "WITH t AS (SELECT doc_id,"

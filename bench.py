@@ -171,6 +171,9 @@ def main() -> None:
         "pipeline_near_dedup",
         "pipeline_near_dedup_prod",
         "text_stats",
+        "text_lang_id",
+        "fingerprint_winnow",
+        "dedup_winnow_overlap",
         "events_daily_counts",
         "warc_ingest",
         "pywb_jsonl_decode",

@@ -143,6 +143,134 @@ def lang_guess_col(text) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trigram-profile language ID (Cavnar–Trenkle-style, profile-match scoring)
+# ---------------------------------------------------------------------------
+#
+# Hand-curated character-trigram profiles (space-padded word boundaries,
+# ASCII only so Spark's length/substr and DuckDB's len/substr agree
+# char-for-char). A document's score for a language is the number of its
+# trigram OCCURRENCES (frequency-weighted, not distinct) present in that
+# language's profile; argmax wins, alphabetical-first on ties, 'unk' when
+# no profile matches at all. All pure column expressions (the per-language
+# membership test is an unrolled array_contains filter over a literal
+# array — broadcast-free: the profiles are plan literals).
+
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "de": (
+        "der", " de", "die", " di", "und", " un", "nd ", "ein", " ei",
+        "ich", "ch ", "cht", "sch", " sc", "ung", " ge", "gen", "ber",
+        " mi", "mit", "das", " da", "en ", "er ",
+    ),
+    "en": (
+        "the", " th", "he ", "ing", "ng ", " an", "and", " of", "of ",
+        " to", "to ", "ion", " in", "in ", "ed ", "is ", " is", " be",
+        "at ", "er ", "es ", "tio", "ent", " co",
+    ),
+    "es": (
+        " de", "de ", "la ", " la", "os ", "los", " lo", " qu", "que",
+        "ue ", "el ", " el", "en ", " en", "cio", "ado", "ar ", " co",
+        "con", " es", "es ", "as ", " pa", "par",
+    ),
+    "fr": (
+        "es ", " de", "de ", "le ", " le", "les", "ent", "nt ", "la ",
+        " la", "que", " qu", "ue ", "re ", " pa", "par", "ion", " et",
+        "et ", "des", " un", "une", "our", " po",
+    ),
+}
+
+
+def _padded_norm_col(text) -> Column:
+    """' ' + lowercase whitespace-collapsed text + ' ' — so word-boundary
+    trigrams like ' th' appear at document edges too."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.concat(F.lit(" "), norm, F.lit(" "))
+
+
+def char_trigrams_col(text) -> Column:
+    """Array of overlapping character trigrams of the padded normalized
+    text (frequency-preserving: NOT de-duplicated)."""
+    padded = _padded_norm_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(padded) - 2),
+        lambda i: F.substr(padded, i, F.lit(3)),
+    )
+    # sequence(1, n<1) would generate a DESCENDING range — guard short input
+    return F.when(F.length(padded) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lang_score_col(trigrams: Column, lang: str) -> Column:
+    """Occurrences of `lang`'s profile trigrams in a trigram array."""
+    profile = F.array(*[F.lit(t) for t in LANG_TRIGRAMS[lang]])
+    return F.size(F.filter(trigrams, lambda t: F.array_contains(profile, t)))
+
+
+def lang_id_cols(text) -> list[Column]:
+    """Per-language scores + winning label as columns
+    (score_de, score_en, score_es, score_fr, lang).
+
+    Argmax unrolled over the sorted language list with a STRICT >
+    comparison, so ties go to the alphabetically-first language; a
+    document matching no profile at all is 'unk'. The trigram array is
+    let-bound through a single-element transform so it is computed once
+    per row, not once per language (see winnow._let).
+    """
+    from cdx_toolkit_spark.winnow import _let
+
+    langs = sorted(LANG_TRIGRAMS)
+
+    def build(tg):
+        scores = {lg: lang_score_col(tg, lg) for lg in langs}
+        best_l, best_s = F.lit(langs[0]), scores[langs[0]]
+        for lg in langs[1:]:
+            cond = scores[lg] > best_s
+            best_l = F.when(cond, F.lit(lg)).otherwise(best_l)
+            best_s = F.when(cond, scores[lg]).otherwise(best_s)
+        label = F.when(best_s > 0, best_l).otherwise(F.lit("unk"))
+        return F.struct(
+            *[scores[lg].alias(f"score_{lg}") for lg in langs],
+            label.alias("lang"),
+        )
+
+    packed = _let(char_trigrams_col(text), build)
+    return [
+        *[packed[f"score_{lg}"].alias(f"score_{lg}") for lg in langs],
+        packed["lang"].alias("lang"),
+    ]
+
+
+def lang_id_sql(table: str = "documents", id_expr: str = "doc_id") -> str:
+    """DuckDB twin of lang_id_cols (full query) — generated from the SAME
+    profile constants so the two can't drift."""
+    langs = sorted(LANG_TRIGRAMS)
+    score_exprs = []
+    for lg in langs:
+        lits = ", ".join("'" + t.replace("'", "''") + "'" for t in LANG_TRIGRAMS[lg])
+        score_exprs.append(
+            f"len(list_filter(tg, t -> list_contains([{lits}], t)))"
+            f" AS score_{lg}"
+        )
+    # argmax with alphabetical-first tie-break == strictly-greater chain
+    best = f"score_{langs[0]}"
+    label = f"'{langs[0]}'"
+    for lg in langs[1:]:
+        label = f"CASE WHEN score_{lg} > {best} THEN '{lg}' ELSE {label} END"
+        best = f"greatest({best}, score_{lg})"
+    scores_sel = ", ".join(f"score_{lg}" for lg in langs)
+    return (
+        f"WITH t AS (SELECT {id_expr},"
+        f" ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' '"
+        f" AS padded FROM {table}),\n"
+        f"g AS (SELECT {id_expr}, list_transform(range(1, len(padded) - 1),"
+        f" i -> substr(padded, i, 3)) AS tg FROM t),\n"
+        f"s AS (SELECT {id_expr}, {', '.join(score_exprs)} FROM g)\n"
+        f"SELECT {id_expr}, {scores_sel},"
+        f" CASE WHEN {best} > 0 THEN {label} ELSE 'unk' END AS lang FROM s"
+    )
+
+
 def fingerprint_col(text) -> Column:
     """Normalized-document fingerprint: md5 of lowercase,
     whitespace-collapsed text. Portable (DuckDB md5 produces identical hex)."""

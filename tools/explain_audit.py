@@ -277,6 +277,52 @@ def main() -> None:
         ],
     )
 
+    # 8. winnowing fingerprints (r5): the whole rolling-hash + window-min
+    #    kernel must be ONE shuffle-free, Python-free projection stage
+    audit(
+        "fingerprint_winnow",
+        qs["fingerprint_winnow"](spark, SF_DIR),
+        [
+            ("zero shuffles (narrow projection + explode only)",
+             absent(r"Exchange")),
+            ("no Python/Arrow eval (pure codegen'd expressions)",
+             absent(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+            ("projection pruned to (doc_id, text) at the scan",
+             contains(r"ReadSchema: [^\n]*doc_id[^\n]*text")),
+        ],
+    )
+
+    # 8b. winnow-overlap pairs: inverted-index self-join — both sides must
+    #     arrive at the join already partitioned on fp (one exchange family,
+    #     no nested-loop blowup), aggregates map-side combined
+    audit(
+        "dedup_winnow_overlap",
+        qs["dedup_winnow_overlap"](spark, SF_DIR),
+        [
+            ("no cartesian/nested-loop join", absent(r"CartesianProduct|BroadcastNestedLoop")),
+            # equi-join keyed on fp whatever the physical strategy — AQE
+            # broadcasts the rare-fp dimension at this SF; at 10^9 docs the
+            # same logical plan shuffles both sides on fp
+            ("pair self-join is an equi-join keyed on fp",
+             contains(r"Left keys \[1\]: \[fp")),
+            ("partial aggregation before the pair-count shuffle",
+             contains(r"HashAggregate .*partial", re.I | re.S)),
+            ("no Python/Arrow eval",
+             absent(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+        ],
+    )
+
+    # 8c. trigram language ID: literal-profile scoring is a pure projection
+    audit(
+        "text_lang_id",
+        qs["text_lang_id"](spark, SF_DIR),
+        [
+            ("zero shuffles", absent(r"Exchange")),
+            ("no Python/Arrow eval",
+             absent(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+        ],
+    )
+
     # write PLANS.md
     lines = [
         "# PLANS — physical-plan audit (structural assertions)\n",
