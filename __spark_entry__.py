@@ -279,13 +279,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trigram-profile language ID (Cavnar–Trenkle-style): per-language
         # occurrence scores against literal profile arrays + argmax label —
         # pure unrolled column expressions, profiles are plan literals
-        "text_lang_id": lambda s, d: _docs(s, d).select(
-            "doc_id", *textkit.lang_id_cols("text")
-        ),
+        "text_lang_id": lambda s, d: textkit.lang_id_table(_docs(s, d)),
         # MOSS winnowing (SIGMOD'03): Karp–Rabin rolling-hash k-grams +
         # window-min fingerprint selection, one let-bound narrow projection
         "fingerprint_winnow": lambda s, d: winnow.winnow_fingerprint_table(
             _docs(s, d), k=8, w=8
+        ),
+        # the production kernel: same fingerprints from ONE numpy-vectorized
+        # mapInPandas stage (linear in doc length; the expression form above
+        # is the portable twin and goes quadratic on long docs — BENCH.md).
+        # Deterministic and bit-identical, so it shares the FULL oracle.
+        "fingerprint_winnow_prod": lambda s, d: winnow.winnow_fingerprint_table(
+            _docs(s, d), k=8, w=8, impl="arrow"
         ),
         # near-dup pairs by winnowing-fingerprint set overlap (inverted
         # index self-join on fp, integer-exact Jaccard, ubiquitous-fp cap)
@@ -1387,6 +1392,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_lang_id": textkit.lang_id_sql(),
         "fingerprint_winnow": (
+            winnow.winnow_fingerprint_sql(8, 8)
+            + "\nSELECT doc_id, pos, fp FROM fp"
+        ),
+        "fingerprint_winnow_prod": (
             winnow.winnow_fingerprint_sql(8, 8)
             + "\nSELECT doc_id, pos, fp FROM fp"
         ),

@@ -173,6 +173,7 @@ def main() -> None:
         "text_stats",
         "text_lang_id",
         "fingerprint_winnow",
+        "fingerprint_winnow_prod",
         "dedup_winnow_overlap",
         "events_daily_counts",
         "warc_ingest",

@@ -189,16 +189,26 @@ def _padded_norm_col(text) -> Column:
 
 def char_trigrams_col(text) -> Column:
     """Array of overlapping character trigrams of the padded normalized
-    text (frequency-preserving: NOT de-duplicated)."""
-    padded = _padded_norm_col(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(padded) - 2),
-        lambda i: F.substr(padded, i, F.lit(3)),
-    )
-    # sequence(1, n<1) would generate a DESCENDING range — guard short input
-    return F.when(F.length(padded) >= 3, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    text (frequency-preserving: NOT de-duplicated).
+
+    The padded normalization is let-bound (winnow._let) before the
+    per-position substr lambda: referencing the raw expression from
+    inside the lambda would re-run the regexp_replace once PER TRIGRAM
+    (~len(text) times per row — measured: the whole language-ID kernel
+    was ~10x slower without this binding)."""
+    from cdx_toolkit_spark.winnow import _let
+
+    def build(padded):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: F.substr(padded, i, F.lit(3)),
+        )
+        # sequence(1, n<1) would generate a DESCENDING range — guard it
+        return F.when(F.length(padded) >= 3, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let(_padded_norm_col(text), build)
 
 
 def lang_score_col(trigrams: Column, lang: str) -> Column:
@@ -207,38 +217,66 @@ def lang_score_col(trigrams: Column, lang: str) -> Column:
     return F.size(F.filter(trigrams, lambda t: F.array_contains(profile, t)))
 
 
-def lang_id_cols(text) -> list[Column]:
-    """Per-language scores + winning label as columns
-    (score_de, score_en, score_es, score_fr, lang).
+def lang_id_packed_col(text) -> Column:
+    """struct(score_de, score_en, score_es, score_fr, lang) — the whole
+    language-ID kernel as ONE let-bound expression.
 
     Argmax unrolled over the sorted language list with a STRICT >
     comparison, so ties go to the alphabetically-first language; a
-    document matching no profile at all is 'unk'. The trigram array is
-    let-bound through a single-element transform so it is computed once
-    per row, not once per language (see winnow._let).
+    document matching no profile at all is 'unk'. TWO let-bindings (see
+    winnow._let): the trigram array is computed once per row (not once
+    per language), and the score STRUCT is computed once before the
+    argmax chain — the when-chain references each score ~2x per language,
+    and without the binding every reference re-ran the interpreted
+    profile-filter pass (measured 2x wall on the full kernel).
     """
     from cdx_toolkit_spark.winnow import _let
 
     langs = sorted(LANG_TRIGRAMS)
 
-    def build(tg):
-        scores = {lg: lang_score_col(tg, lg) for lg in langs}
-        best_l, best_s = F.lit(langs[0]), scores[langs[0]]
+    def scores_struct(tg):
+        return F.struct(
+            *[lang_score_col(tg, lg).alias(f"score_{lg}") for lg in langs]
+        )
+
+    def with_label(sc):
+        best_l, best_s = F.lit(langs[0]), sc[f"score_{langs[0]}"]
         for lg in langs[1:]:
-            cond = scores[lg] > best_s
+            cond = sc[f"score_{lg}"] > best_s
             best_l = F.when(cond, F.lit(lg)).otherwise(best_l)
-            best_s = F.when(cond, scores[lg]).otherwise(best_s)
+            best_s = F.when(cond, sc[f"score_{lg}"]).otherwise(best_s)
         label = F.when(best_s > 0, best_l).otherwise(F.lit("unk"))
         return F.struct(
-            *[scores[lg].alias(f"score_{lg}") for lg in langs],
+            *[sc[f"score_{lg}"].alias(f"score_{lg}") for lg in langs],
             label.alias("lang"),
         )
 
-    packed = _let(char_trigrams_col(text), build)
-    return [
-        *[packed[f"score_{lg}"].alias(f"score_{lg}") for lg in langs],
-        packed["lang"].alias("lang"),
-    ]
+    return _let(
+        char_trigrams_col(text),
+        lambda tg: _let(scores_struct(tg), with_label),
+    )
+
+
+def lang_id_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, score_<lang>..., lang) — the DataFrame form of the language-ID
+    kernel, and the form every caller should use.
+
+    Unpacking the packed struct directly in one select references it once
+    per output column, and Catalyst re-inlines the whole scoring kernel
+    into EVERY reference (5 evaluations per row — measured 5x wall). The
+    struct is pushed through an explode_outer(array(...)) Generate
+    barrier instead, so the unpack reads a materialized attribute.
+    """
+    langs = sorted(LANG_TRIGRAMS)
+    d = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode_outer(F.array(lang_id_packed_col(text_col))).alias("_lid"),
+    )
+    return d.select(
+        id_col,
+        *[F.col(f"_lid.score_{lg}").alias(f"score_{lg}") for lg in langs],
+        F.col("_lid.lang").alias("lang"),
+    )
 
 
 def lang_id_sql(table: str = "documents", id_expr: str = "doc_id") -> str:

@@ -158,7 +158,7 @@ def test_lang_id_hand_sentences(spark):
     )
     got = {
         r.doc_id: r.lang
-        for r in df.select("doc_id", *textkit.lang_id_cols("text")).collect()
+        for r in textkit.lang_id_table(df).collect()
     }
     for i, (text, want) in enumerate(LANG_SENTENCES):
         assert got[i] == want, text
@@ -173,13 +173,48 @@ def test_lang_id_scores_and_ties_match_python_reference(spark):
     )
     rows = {
         r.doc_id: r
-        for r in df.select("doc_id", *textkit.lang_id_cols("text")).collect()
+        for r in textkit.lang_id_table(df).collect()
     }
     for i, text in enumerate(texts):
         ref = _py_lang_scores(text)
         for lang in ref:
             assert rows[i][f"score_{lang}"] == ref[lang], (text, lang)
         assert rows[i].lang == _py_lang_label(text), text
+
+
+def test_winnow_arrow_impl_bit_identical_to_expr(spark, sf_dir):
+    # the production (mapInPandas/numpy) kernel must produce the exact
+    # fingerprint rowset of the expression/oracle form on real fixture
+    # docs AND on the edge cases (empty, sub-k, single-window)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    expr_rows = sorted(
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow.winnow_fingerprint_table(docs, 8, 8).collect()
+    )
+    arrow_rows = sorted(
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow.winnow_fingerprint_table(
+            docs, 8, 8, impl="arrow"
+        ).collect()
+    )
+    assert expr_rows == arrow_rows and len(expr_rows) > 0
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, "abcdefgh"), (4, "abcdefghij"),
+         (5, "  spaced   out\ttabs\nand newlines  ")],
+        "doc_id long, text string",
+    )
+    e = sorted(
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow.winnow_fingerprint_table(edge, 8, 8).collect()
+    )
+    a = sorted(
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow.winnow_fingerprint_table(
+            edge, 8, 8, impl="arrow"
+        ).collect()
+    )
+    assert e == a
 
 
 def test_winnow_plan_is_shuffle_free_and_python_free(spark, sf_dir):

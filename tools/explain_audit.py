@@ -292,6 +292,19 @@ def main() -> None:
         ],
     )
 
+    # 8a. the production (numpy/Arrow) winnow kernel: ONE mapInPandas
+    #     stage, still zero shuffles
+    audit(
+        "fingerprint_winnow_prod",
+        qs["fingerprint_winnow_prod"](spark, SF_DIR),
+        [
+            ("zero shuffles", absent(r"Exchange")),
+            ("single Arrow stage (mapInPandas), no row-at-a-time Python",
+             contains(r"MapInPandas")),
+            ("no row-at-a-time Python eval", absent(r"BatchEvalPython")),
+        ],
+    )
+
     # 8b. winnow-overlap pairs: inverted-index self-join — both sides must
     #     arrive at the join already partitioned on fp (one exchange family,
     #     no nested-loop blowup), aggregates map-side combined
