@@ -298,6 +298,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), k=8, w=8, threshold_num=1, threshold_den=4,
             max_doc_freq=100,
         ),
+        # benchmark decontamination (GPT-3/Pile n-gram practice): flag train
+        # docs sharing word n-grams with an eval set; eval shingles are
+        # BROADCAST so the 100 TB train side joins without a shuffle
+        "decontaminate_ngram": lambda s, d: (
+            lambda docs: dedup.contamination_table(
+                docs.where(F.col("doc_id") % 50 != 7),
+                docs.where(F.col("doc_id") % 50 == 7),
+                n=3,
+            )
+        )(_docs(s, d)),
         # deterministic shuffle-free train/val/test assignment (portable
         # md5 bucket vs cumulative weight thresholds — stable across runs,
         # partitionings and cluster sizes, unlike randomSplit)
@@ -1391,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM t"
         ),
         "text_lang_id": textkit.lang_id_sql(),
+        "decontaminate_ngram": dedup.contamination_sql(n=3),
         "fingerprint_winnow": (
             winnow.winnow_fingerprint_sql(8, 8)
             + "\nSELECT doc_id, pos, fp FROM fp"

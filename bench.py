@@ -175,6 +175,7 @@ def main() -> None:
         "fingerprint_winnow",
         "fingerprint_winnow_prod",
         "dedup_winnow_overlap",
+        "decontaminate_ngram",
         "events_daily_counts",
         "warc_ingest",
         "pywb_jsonl_decode",

@@ -361,6 +361,94 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def contamination_table(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 5,
+    min_common: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark-contamination flags: training documents sharing >=
+    ``min_common`` distinct word n-grams with ANY eval/benchmark document
+    (the GPT-3/Pile n-gram decontamination practice). Returns
+    (doc_id, n_common_shingles, n_eval_docs) — how many distinct
+    contaminated n-grams the doc contains and how many eval docs it hits.
+
+    100 TB shape: the eval set is benchmarks (thousands of docs), the
+    train side is the corpus — so the eval shingle table is BROADCAST and
+    the train side joins with NO shuffle; the only exchange is the final
+    per-doc aggregate, whose input is just the matching rows. The train
+    shingle pass composes with the other shingle consumers via
+    ``shingles=`` (a persisted shingle_table(train, n), same contract as
+    minhash/verify — n/id_col/text_col are ignored for the train side
+    when given).
+    """
+    tr = (
+        shingles
+        if shingles is not None
+        else shingle_table(train, n, id_col, text_col)
+    ).where(F.col("shingle") != "")
+    ev = (
+        shingle_table(evalset, n, id_col, text_col)
+        .where(F.col("shingle") != "")
+        .withColumnRenamed("doc", "eval_doc")
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_common_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .where(F.col("n_common_shingles") >= min_common)
+        .withColumnRenamed("doc", id_col)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 5,
+    min_common: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The cleaned corpus: ``train`` minus every contamination_table hit
+    (left_anti on the flagged ids — keyed join, no row explosion)."""
+    flagged = contamination_table(
+        train, evalset, n, min_common, id_col, text_col, shingles
+    ).select(id_col)
+    return train.join(flagged, id_col, "left_anti")
+
+
+def contamination_sql(
+    n: int = 5,
+    min_common: int = 1,
+    table: str = "documents",
+    eval_pred: str = "doc_id % 50 = 7",
+) -> str:
+    """DuckDB twin of contamination_table where the eval set is carved out
+    of ``table`` by ``eval_pred`` and the train side is its complement."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return (
+        f"WITH w AS (SELECT doc_id,"
+        f" string_split_regex(trim(text), '\\s+') AS ws FROM {table}),\n"
+        f"sh AS (SELECT DISTINCT doc_id, {gram} AS s\n"
+        f"  FROM w, unnest(generate_series(1, len(ws)-{n - 1})) AS g(i)"
+        f" WHERE len(ws) >= {n}),\n"
+        f"tr AS (SELECT * FROM sh WHERE NOT ({eval_pred})),\n"
+        f"ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE {eval_pred})\n"
+        f"SELECT tr.doc_id,"
+        f" count(DISTINCT tr.s) AS n_common_shingles,"
+        f" count(DISTINCT ev.eval_doc) AS n_eval_docs\n"
+        f"FROM tr JOIN ev ON tr.s = ev.s\n"
+        f"GROUP BY tr.doc_id HAVING count(DISTINCT tr.s) >= {min_common}"
+    )
+
+
 def simhash_signatures(
     docs: DataFrame,
     bits: int = 64,

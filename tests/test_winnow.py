@@ -217,6 +217,59 @@ def test_winnow_arrow_impl_bit_identical_to_expr(spark, sf_dir):
     assert e == a
 
 
+def test_contamination_table_semantics(spark):
+    from cdx_toolkit_spark import dedup
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 5-gram
+            (2, "totally unrelated words here none match at all"),
+            (3, "alpha beta gamma delta epsilon"),  # exactly the eval doc
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_common_shingles, r.n_eval_docs)
+        for r in dedup.contamination_table(train, evalset, n=5).collect()
+    }
+    # doc 1: shares the one 5-gram "alpha..epsilon"; doc 3: identical
+    assert got == {1: (1, 1), 3: (1, 1)}
+
+    cleaned = dedup.decontaminate(train, evalset, n=5)
+    assert sorted(r.doc_id for r in cleaned.collect()) == [2]
+
+
+def test_contamination_shared_shingles_frame(spark):
+    # the shingles= contract: passing a pre-built train shingle table gives
+    # the same flags (composition path used by a full-pipeline caller)
+    from cdx_toolkit_spark import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),
+            (2, "eight nine ten eleven twelve thirteen"),
+            (100, "three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    train = docs.where(F.col("doc_id") < 100)
+    ev = docs.where(F.col("doc_id") >= 100)
+    direct = sorted(
+        tuple(r) for r in dedup.contamination_table(train, ev, n=5).collect()
+    )
+    shared = dedup.shingle_table(train, 5)
+    via_shared = sorted(
+        tuple(r)
+        for r in dedup.contamination_table(
+            train, ev, n=5, shingles=shared
+        ).collect()
+    )
+    assert direct == via_shared and len(direct) == 1
+
+
 def test_winnow_plan_is_shuffle_free_and_python_free(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = (

@@ -325,6 +325,21 @@ def main() -> None:
         ],
     )
 
+    # 8d. decontamination: the eval shingle table must be broadcast so the
+    #     (100 TB) train side reaches the join without a shuffle; the only
+    #     exchange keys the per-doc aggregate over matched rows
+    audit(
+        "decontaminate_ngram",
+        qs["decontaminate_ngram"](spark, SF_DIR),
+        [
+            ("eval shingles broadcast", contains(r"BroadcastExchange")),
+            ("train side not shuffled before the join (no exchange on shingle)",
+             absent(r"Exchange hashpartitioning\(shingle")),
+            ("no cartesian/nested-loop join",
+             absent(r"CartesianProduct|BroadcastNestedLoop")),
+        ],
+    )
+
     # 8c. trigram language ID: literal-profile scoring is a pure projection
     audit(
         "text_lang_id",
