@@ -298,6 +298,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), k=8, w=8, threshold_num=1, threshold_den=4,
             max_doc_freq=100,
         ),
+        # global top-k token counts (BPE/tokenizer vocabulary prep):
+        # map-side-combined count + TakeOrderedAndProject, no global sort
+        "vocab_topk": lambda s, d: textkit.vocab_topk(_docs(s, d), k=200),
+        # Gopher-style intra-doc repetition stats (duplicate n-gram
+        # fraction) — boilerplate/spam quality signal, pure projection
+        "text_repetition": lambda s, d: textkit.repetition_table(
+            _docs(s, d)
+        ),
         # benchmark decontamination (GPT-3/Pile n-gram practice): flag train
         # docs sharing word n-grams with an eval set; eval shingles are
         # BROADCAST so the 100 TB train side joins without a shuffle
@@ -1402,6 +1410,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_lang_id": textkit.lang_id_sql(),
         "decontaminate_ngram": dedup.contamination_sql(n=3),
+        "vocab_topk": textkit.vocab_topk_sql(k=200),
+        "text_repetition": textkit.repetition_sql(),
         "fingerprint_winnow": (
             winnow.winnow_fingerprint_sql(8, 8)
             + "\nSELECT doc_id, pos, fp FROM fp"

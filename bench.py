@@ -176,6 +176,8 @@ def main() -> None:
         "fingerprint_winnow_prod",
         "dedup_winnow_overlap",
         "decontaminate_ngram",
+        "vocab_topk",
+        "text_repetition",
         "events_daily_counts",
         "warc_ingest",
         "pywb_jsonl_decode",

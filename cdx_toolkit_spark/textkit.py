@@ -338,6 +338,106 @@ def bpe_token_count_col(text) -> Column:
     return F.regexp_count(_col(text), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens")
 
 
+def vocab_topk(docs, k: int = 200, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Global top-k token frequency table (token, cnt) — the vocabulary
+    scan a BPE/tokenizer-training pipeline runs first.
+
+    One explode + one map-side-combined count shuffle; the top-k is
+    (cnt DESC, token ASC) with the token tie-break making the boundary
+    set deterministic, and limit+order plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort) — the right 100 TB shape."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def vocab_topk_sql(k: int = 200, table: str = "documents") -> str:
+    """DuckDB twin of vocab_topk."""
+    return (
+        f"SELECT token, count(*) AS cnt FROM (\n"
+        f"  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))"
+        f" AS token FROM {table})\n"
+        f"WHERE token <> '' GROUP BY token\n"
+        f"ORDER BY cnt DESC, token LIMIT {k}"
+    )
+
+
+def repetition_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style intra-document repetition stats:
+    (id, dup_2gram_frac, dup_3gram_frac) where dup_ngram_frac =
+    1 - distinct/total over the doc's word n-grams (0.0 when the doc has
+    no n-grams). High fractions mark boilerplate/spam for quality
+    filtering. Pure let-bound column expressions, zero shuffles."""
+    from cdx_toolkit_spark.winnow import _let
+
+    def frac(n):
+        def from_tokens(toks):
+            grams = F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+            return _let(
+                F.when(F.size(toks) >= n, grams).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                lambda g: F.when(
+                    F.size(g) > 0,
+                    F.round(
+                        1.0
+                        - F.size(F.array_distinct(g))
+                        / F.size(g).cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)),
+            )
+
+        return from_tokens
+
+    toks_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+    packed = _let(
+        toks_expr,
+        lambda toks: F.struct(
+            frac(2)(toks).alias("dup_2gram_frac"),
+            frac(3)(toks).alias("dup_3gram_frac"),
+        ),
+    )
+    d = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode_outer(F.array(packed)).alias("_rep"),
+    )
+    return d.select(
+        id_col,
+        F.col("_rep.dup_2gram_frac").alias("dup_2gram_frac"),
+        F.col("_rep.dup_3gram_frac").alias("dup_3gram_frac"),
+    )
+
+
+def repetition_sql(table: str = "documents") -> str:
+    """DuckDB twin of repetition_table."""
+    def frac(n):
+        gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+        return (
+            f"CASE WHEN len(ws) >= {n} THEN round(1.0 -"
+            f" CAST(len(list_distinct(list_transform("
+            f"generate_series(1, len(ws)-{n - 1}), i -> {gram}))) AS DOUBLE)"
+            f" / (len(ws)-{n - 1}), 6) ELSE 0.0 END"
+        )
+
+    return (
+        f"WITH w AS (SELECT doc_id,"
+        f" string_split_regex(trim(text), '\\s+') AS ws FROM {table})\n"
+        f"SELECT doc_id, {frac(2)} AS dup_2gram_frac,"
+        f" {frac(3)} AS dup_3gram_frac FROM w"
+    )
+
+
 SPLIT_GRANULARITY = 1_000_000
 
 

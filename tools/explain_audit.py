@@ -340,6 +340,31 @@ def main() -> None:
         ],
     )
 
+    # 8e. vocabulary top-k: partial count before the shuffle, and the
+    #     order+limit must plan as TakeOrderedAndProject (per-partition
+    #     heaps), never a global sort
+    audit(
+        "vocab_topk",
+        qs["vocab_topk"](spark, SF_DIR),
+        [
+            ("partial count before the token shuffle",
+             contains(r"HashAggregate .*partial", re.I | re.S)),
+            ("top-k via TakeOrderedAndProject, no global sort",
+             contains(r"TakeOrderedAndProject")),
+        ],
+    )
+
+    # 8f. repetition stats: pure projection
+    audit(
+        "text_repetition",
+        qs["text_repetition"](spark, SF_DIR),
+        [
+            ("zero shuffles", absent(r"Exchange")),
+            ("no Python/Arrow eval",
+             absent(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+        ],
+    )
+
     # 8c. trigram language ID: literal-profile scoring is a pure projection
     audit(
         "text_lang_id",
