@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
 from cdx_toolkit_spark import dedup, render, similarity, textkit, multimodal
-from cdx_toolkit_spark import winnow
+from cdx_toolkit_spark import cluster, winnow
 from cdx_toolkit_spark import ingest
 from cdx_toolkit_spark import warc as warcmod
 
@@ -356,6 +356,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_near_dedup_prod": lambda s, d: _pipeline_near_dedup(
             s, d, portable=False
         ),
+        # duplicate CLUSTERS, not pairs: connected components over the
+        # verified near-dup pair graph (pointer-jumping min-label, log-
+        # diameter rounds of keyed joins — cdx_toolkit_spark/cluster.py).
+        # component_id == min(doc_id in component), deterministic.
+        "dedup_cc_components": lambda s, d: cluster.connected_components(
+            _verified_pairs(s, d)
+        ),
+        # the transitively-CORRECT survivor pipeline: one doc per duplicate
+        # cluster survives (A~B~C collapses to A even though the (A,C)
+        # pair was never emitted), vs pipeline_near_dedup's SQL-friendly
+        # greedy per-pair doc_b drop which can keep >1 doc of a chain
+        "pipeline_near_dedup_cc": lambda s, d: _pipeline_near_dedup_cc(s, d),
         # --- similarity search ----------------------------------------------
         "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), k=5, n=_pq_rows(f"{d}/embeddings.parquet"),
@@ -515,6 +527,72 @@ def _shared_shingles(s: SparkSession, d: str, docs: DataFrame) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+def _verified_pairs(
+    s: SparkSession, d: str, portable: bool = True
+) -> DataFrame:
+    """The shared candidate→verify front half of the near-dedup pipelines:
+    banded-LSH candidates intersected with exact-Jaccard verification,
+    both stages reading ONE persisted shingle frame. Returns the verified
+    (doc_a, doc_b, ...) pair graph."""
+    docs = _docs(s, d)
+    shingles = _shared_shingles(s, d, docs)
+    cand = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, n=3, portable=portable,
+        shingles=shingles,
+    )
+    return dedup.verify_jaccard_pairs(
+        docs, cand, n=3, threshold_num=8, threshold_den=10, max_doc_freq=100,
+        shingles=shingles,
+    )
+
+
+def _verified_pairs_oracle() -> str:
+    return (
+        "SELECT v.doc_a, v.doc_b FROM "
+        f"({_minhash_lsh_oracle(num_hashes=64, bands=16)}) c "
+        f"JOIN ({_ngram_jaccard_oracle()}) v "
+        "ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b"
+    )
+
+
+def _pipeline_near_dedup_cc(s: SparkSession, d: str) -> DataFrame:
+    """Cluster-correct near-dedup: connected components over the verified
+    pair graph, keep the min-id representative of each component plus all
+    unpaired documents, then the same token/quality projection+gate as
+    _pipeline_near_dedup. Differs from the greedy per-pair drop exactly on
+    transitive chains (A~B, B~C without an (A,C) pair)."""
+    docs = _docs(s, d)
+    kept = cluster.cc_survivors(docs, _verified_pairs(s, d))
+    return kept.select(
+        "doc_id",
+        textkit.token_count_col("text"),
+        textkit.quality_score_col("text"),
+    ).where(F.col("quality") >= 0.3)
+
+
+def _pipeline_near_dedup_cc_oracle() -> str:
+    cc = cluster.connected_components_sql(_verified_pairs_oracle())
+    return (
+        f"WITH cc AS ({cc}),\n"
+        "dropped AS (SELECT doc_id FROM cc WHERE doc_id <> component_id),\n"
+        "kept AS (SELECT d.doc_id, d.text FROM documents d\n"
+        "  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)),\n"
+        "t AS (SELECT doc_id,\n"
+        "  CASE WHEN trim(text) = '' THEN 0"
+        "    ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,\n"
+        "  len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        "    x -> list_contains(['the','a','of','and','to'], x))) AS sw\n"
+        "  FROM kept)\n"
+        "SELECT doc_id, nt AS n_tokens,\n"
+        "  round(0.5 * least(1.0, nt / 64.0) + 0.5 * least(1.0,"
+        "    4.0 * (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE) / nt"
+        "           ELSE 0.0 END)), 6) AS quality\n"
+        "FROM t WHERE round(0.5 * least(1.0, nt / 64.0) + 0.5 * least(1.0,"
+        "    4.0 * (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE) / nt"
+        "           ELSE 0.0 END)), 6) >= 0.3"
+    )
+
+
 def _pipeline_near_dedup(
     s: SparkSession, d: str, portable: bool = True
 ) -> DataFrame:
@@ -526,24 +604,11 @@ def _pipeline_near_dedup(
     hash-free exact Jaccard either way, so only the CANDIDATE set can
     differ between the twins."""
     docs = _docs(s, d)
-    # the tokenize+shingle explode is the pipeline's cost floor — build it
-    # ONCE and persist; both the LSH candidate stage and the Jaccard
-    # verify stage read the shared frame (VERDICT r3 #3). persist() is
-    # lazy, so composing still runs zero Spark jobs; the frame is memoized
-    # per (session, sf_dir) so repeated compositions (warm-up + timed
-    # bench, oracle pass, plan audit) reuse ONE cache entry instead of
-    # accumulating a fresh persisted explosion per call.
-    shingles = _shared_shingles(s, d, docs)
-    cand = dedup.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, n=3, portable=portable,
-        shingles=shingles,
-    )
-    # verify ONLY the candidates (dedup.verify_jaccard_pairs) — work scales
-    # with |candidates|, not the full co-shingled pair space
-    ver = dedup.verify_jaccard_pairs(
-        docs, cand, n=3, threshold_num=8, threshold_den=10, max_doc_freq=100,
-        shingles=shingles,
-    )
+    # the tokenize+shingle explode is the pipelines' cost floor — built
+    # ONCE inside _verified_pairs via the persisted memoized shingle frame
+    # (VERDICT r3 #3); verify runs ONLY on candidates, so work scales with
+    # |candidates|, not the full co-shingled pair space.
+    ver = _verified_pairs(s, d, portable=portable)
     drop = ver.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = docs.join(drop, "doc_id", "left_anti")
     return kept.select(
@@ -1520,6 +1585,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pages_extract": _pages_extract_oracle(),
         "pipeline_near_dedup": _pipeline_near_dedup_oracle(),
+        "dedup_cc_components": cluster.connected_components_sql(
+            _verified_pairs_oracle()
+        ),
+        "pipeline_near_dedup_cc": _pipeline_near_dedup_cc_oracle(),
         "politeness_schedule": _politeness_schedule_oracle(),
         "retry_classify": _retry_classify_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),

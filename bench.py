@@ -170,6 +170,7 @@ def main() -> None:
         "pipeline_clean_corpus",
         "pipeline_near_dedup",
         "pipeline_near_dedup_prod",
+        "pipeline_near_dedup_cc",
         "text_stats",
         "text_lang_id",
         "fingerprint_winnow",

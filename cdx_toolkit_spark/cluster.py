@@ -1,0 +1,150 @@
+"""Distributed connected components over near-duplicate candidate pairs.
+
+Production dedup keeps ONE document per duplicate *cluster*, not per pair:
+the pair relation from MinHash/SimHash/winnowing is not transitive, so a
+chain A~B~C must collapse to one survivor even when (A,C) was never
+emitted as a pair. That requires connected components over the pair graph
+(the practice in large-corpus dedup pipelines, e.g. Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better", which unions
+MinHash pairs into clusters before dropping).
+
+`connected_components` is a pure-DataFrame iterative algorithm in the
+Shiloach–Vishkin family: each round alternates
+
+  1. *propagate*  — every node takes the min label over itself and its
+     neighbors (one keyed join + one map-side-combined min aggregate);
+  2. *pointer-jump* — every node replaces its label L with label(L)
+     (one keyed self-join), halving the depth of the label-pointer chains,
+
+so label chains shrink geometrically and convergence takes O(log d)
+rounds for diameter-d components (a chain of 2^k nodes converges in ~k
+rounds, pinned by a test) — not the O(d) of naive label propagation.
+Every step is an equi-join or hash aggregate on the node id: no
+cartesian products, no collect of the graph, and each round's frame is
+`localCheckpoint`ed so the plan stays O(1) deep instead of growing with
+the iteration count (the standard Spark iterative-algorithm pattern; the
+only driver-side values are the per-round scalar convergence counts).
+
+Labels are node ids and only ever decrease toward the component minimum,
+so the fixpoint is exact and deterministic: component_id == min(doc_id in
+component), independent of partitioning, parallelism, and round count.
+
+100 TB notes: per round the big frames touched are |V| labels and |E|
+directed edges, shuffled on node id — skew on a mega-component's hub is
+bounded because the aggregate is a MIN (map-side combine collapses each
+partition's contribution to one row per node). The edge frame is built
+once (symmetrized, distinct) and reused read-only by every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(doc_id, component_id) for every node that appears in ``pairs``,
+    where component_id = min node id reachable through the pair graph.
+
+    ``max_rounds`` is a diverge guard, not a tuning knob: convergence is
+    detected exactly (zero labels changed), and pointer-jumping makes the
+    round count logarithmic in the largest component's diameter — 64
+    covers any graph that fits in 2^64 ids. Raises RuntimeError if the
+    guard is ever hit (it cannot be, short of a bug).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_rounds):
+        # 1. propagate: min over the neighborhood's labels. Join labels to
+        #    the edge *source* side then MIN-aggregate per destination —
+        #    map-side combine bounds hub-node skew before the shuffle.
+        nbr_min = (
+            edges.join(lab.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lab").alias("_nl"))
+        )
+        prop = (
+            lab.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("_nl", "lab")).alias("lab"),
+            )
+        )
+        # 2. pointer-jump: lab <- label(lab). Labels are node ids whose
+        #    own row always exists (a label is only ever some node's id),
+        #    but keep the left-join + coalesce so a root's self-label is
+        #    a no-op rather than a dropped row.
+        jump = prop.select(
+            F.col("node").alias("lab"), F.col("lab").alias("_pl")
+        )
+        new = (
+            prop.join(jump, "lab", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("_pl", "lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # exact convergence: scalar count of changed labels (labels only
+        # decrease, so "unchanged this round" == global fixpoint).
+        changed = (
+            new.withColumnRenamed("lab", "_new")
+            .join(lab, "node")
+            .where(F.col("_new") != F.col("lab"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return lab.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("component_id")
+    )
+
+
+def cc_survivors(docs: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """``docs`` minus every non-representative member of each duplicate
+    cluster: the component representative (min id) survives, every other
+    member is dropped, and documents in no pair pass through untouched.
+    One left-anti keyed join against the (small) drop list."""
+    cc = connected_components(pairs)
+    drop = cc.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB twin of connected_components: min-reachable-label via a
+    recursive reachability walk (UNION-deduped, so it terminates), then a
+    per-node MIN. Exact on the oracle's scale; the Spark side is the one
+    that has to be clever about round counts."""
+    return (
+        "WITH RECURSIVE pairs AS (" + pairs_sql + "),\n"
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs WHERE doc_a <> doc_b"
+        " UNION SELECT doc_b, doc_a FROM pairs WHERE doc_a <> doc_b),\n"
+        "walk(n, lab) AS (\n"
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM e)\n"
+        "  UNION\n"
+        "  SELECT e.v, walk.lab FROM walk JOIN e ON e.u = walk.n\n"
+        ")\n"
+        "SELECT n AS doc_id, min(lab) AS component_id FROM walk GROUP BY n"
+    )

@@ -221,6 +221,26 @@ def main() -> None:
         ],
     )
 
+    # 6e. cluster-correct near-dedup: the iterative CC rounds ran at
+    #     compose time behind localCheckpoint (adjudicated iterative-algo
+    #     exemption); the RESULT plan must stay keyed — the survivor
+    #     anti-join on doc_id, no cartesian anywhere, and the label frame
+    #     read back from checkpointed blocks (O(1)-deep plan, not a
+    #     64-round join tower).
+    audit(
+        "pipeline_near_dedup_cc", qs["pipeline_near_dedup_cc"](spark, SF_DIR),
+        [
+            ("no cartesian product", absent(r"CartesianProduct")),
+            ("no broadcast nested loop (all joins keyed)",
+             absent(r"BroadcastNestedLoopJoin")),
+            ("cluster drop-list applied as anti-join",
+             contains(r"LeftAnti")),
+            ("iteration severed: converged labels come from checkpointed "
+             "blocks (Scan ExistingRDD), not a replayed join tower",
+             contains(r"Scan ExistingRDD")),
+        ],
+    )
+
     # 7. frontier politeness: robots joined via broadcast
     from cdx_toolkit_spark.frontier import politeness
     from cdx_toolkit_spark.frontier.scheduler import prepare
