@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
 from cdx_toolkit_spark import dedup, render, similarity, textkit, multimodal
-from cdx_toolkit_spark import cluster, winnow
+from cdx_toolkit_spark import cluster, packing, winnow
 from cdx_toolkit_spark import ingest
 from cdx_toolkit_spark import warc as warcmod
 
@@ -275,6 +275,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             textkit.quality_score_col("text"),
             textkit.bpe_token_count_col("text"),
+        ),
+        # concat-and-chunk sequence packing: global token offsets via the
+        # exchange-free two-phase cumsum (ONE big-frame exchange; the heavy
+        # text column never enters — packing.py). pack_segments is the
+        # per-(doc, sequence) materialization plan incl. straddlers.
+        "pack_assignments": lambda s, d: packing.pack_assignments(
+            _docs(s, d), budget=128, tokens_col=textkit.token_count_col("text"),
+        ),
+        "pack_segments": lambda s, d: packing.pack_segments(
+            _docs(s, d), budget=128, tokens_col=textkit.token_count_col("text"),
         ),
         # trigram-profile language ID (Cavnar–Trenkle-style): per-language
         # occurrence scores against literal profile arrays + argmax label —
@@ -1307,6 +1317,15 @@ def _bucketed_cosine_oracle(threshold: float = 0.40, n_planes: int = 6,
     )
 
 
+# DuckDB twin of textkit.token_count_col over documents (shared by the
+# packing oracles; same expression the pipeline/text_stats oracles inline)
+_NT_SQL = (
+    "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt"
+    " FROM documents"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     iter_order = 'ORDER BY crawl DESC, urlkey, "timestamp", doc_id'
     asc_order = 'ORDER BY urlkey, "timestamp", doc_id'
@@ -1555,6 +1574,8 @@ def oracle_sql() -> dict[str, str]:
             "  greatest(1, CAST(floor(n_chars / 100.0) AS BIGINT)))) AS g(i) "
             "WHERE doc_id % 3 = 2"
         ),
+        "pack_assignments": packing.pack_assignments_sql(_NT_SQL, 128),
+        "pack_segments": packing.pack_segments_sql(_NT_SQL, 128),
         "events_daily_counts": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,"
             "  count(*) AS n_events, count(DISTINCT user_id) AS n_users "

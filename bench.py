@@ -177,6 +177,7 @@ def main() -> None:
         "fingerprint_winnow_prod",
         "dedup_winnow_overlap",
         "decontaminate_ngram",
+        "pack_segments",
         "vocab_topk",
         "text_repetition",
         "events_daily_counts",

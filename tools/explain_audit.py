@@ -241,6 +241,60 @@ def main() -> None:
         ],
     )
 
+    # 6f. sequence packing: the visible (post-checkpoint) plan must keep
+    #     the corpus-sized carried frame out of every exchange — offsets
+    #     arrive by broadcast; the stats agg is partial-combined and its
+    #     window runs AFTER the tiny aggregate, never on the big frame.
+    audit(
+        "pack_assignments", qs["pack_assignments"](spark, SF_DIR),
+        [
+            ("partition offsets joined by broadcast (big frame unshuffled)",
+             contains(r"BroadcastHashJoin")),
+            ("no cartesian product", absent(r"CartesianProduct")),
+            ("stats aggregate partial before its exchange",
+             contains(r"HashAggregate .*partial", re.I | re.S)),
+            ("carried cumsum read from checkpointed blocks",
+             contains(r"Scan ExistingRDD")),
+        ],
+    )
+    # the pre-checkpoint half (hidden behind Scan ExistingRDD above):
+    # rebuild skinny->ranged->mapInPandas exactly as pack_assignments does
+    # and assert ONE exchange (the range partition) + the Arrow cumsum
+    from cdx_toolkit_spark import packing as _packing
+    from cdx_toolkit_spark import textkit as _tk
+
+    _docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _skinny = _docs_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _tk.token_count_col("text").cast("long").alias("n_tokens"),
+    )
+    _pre = (
+        _skinny.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .mapInPandas(
+            _packing._cumsum_stream,
+            "doc_id long, n_tokens long, _pid int, _cum long",
+        )
+    )
+    audit(
+        "pack_cumsum_prechk", _pre,
+        [
+            ("running sum is Arrow-streamed (MapInPandas)",
+             contains(r"MapInPandas")),
+            ("ONE exchange: the doc_id range partition",
+             lambda plan: (
+                 len(re.findall(r"\bExchange\b", tree_of(plan))) == 1
+                 and "rangepartitioning" in plan,
+                 f"{len(re.findall(r'Exchange', tree_of(plan)))} exchange(s)",
+             )),
+            ("skinny projection: scan reads only doc_id,text",
+             contains(r"ReadSchema: struct<doc_id:[^>,]*,text:[^>,]*>")),
+            ("no global single-partition sort/window",
+             absent(r"\bWindow\b|\bSortExec\b, Exchange SinglePartition")),
+        ],
+    )
+
     # 7. frontier politeness: robots joined via broadcast
     from cdx_toolkit_spark.frontier import politeness
     from cdx_toolkit_spark.frontier.scheduler import prepare
