@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
 from cdx_toolkit_spark import dedup, render, similarity, textkit, multimodal
-from cdx_toolkit_spark import cluster, packing, winnow
+from cdx_toolkit_spark import cluster, packing, sampling, winnow
 from cdx_toolkit_spark import ingest
 from cdx_toolkit_spark import warc as warcmod
 
@@ -276,6 +276,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textkit.quality_score_col("text"),
             textkit.bpe_token_count_col("text"),
         ),
+        # deterministic corpus sampling (sampling.py): membership from the
+        # portable md5 bucket — stable across runs/partitionings, unlike
+        # df.sample(); all three carry full value-hash oracles.
+        "sample_hash": lambda s, d: sampling.hash_sample(
+            _docs(s, d), 0.25, seed=1
+        ),
+        # per-group cap via the exchange-free grouped rank (rank.py) on the
+        # skinny projection; heavy text column crosses no exchange
+        "sample_group_quota": lambda s, d: sampling.group_quota_sample(
+            _docs(s, d), "lang", quota=40, seed=3
+        ),
+        # temperature-alpha mixture rebalancing (count_g^0.5 shares):
+        # upsampled tail groups get copy>=2 rows via a bounded explode
+        "sample_temperature": lambda s, d: sampling.temperature_rebalance(
+            _docs(s, d), "lang", alpha=0.5, seed=4
+        ).select("doc_id", "lang", "copy"),
         # concat-and-chunk sequence packing: global token offsets via the
         # exchange-free two-phase cumsum (ONE big-frame exchange; the heavy
         # text column never enters — packing.py). pack_segments is the
@@ -1573,6 +1589,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents, unnest(generate_series(1, "
             "  greatest(1, CAST(floor(n_chars / 100.0) AS BIGINT)))) AS g(i) "
             "WHERE doc_id % 3 = 2"
+        ),
+        "sample_hash": (
+            "SELECT * FROM documents WHERE "
+            + sampling.sample_bucket_sql("doc_id", 1)
+            + " < 250000"
+        ),
+        "sample_group_quota": sampling.group_quota_sample_sql(
+            "documents", "lang", 40, seed=3
+        ),
+        "sample_temperature": (
+            "SELECT doc_id, lang, copy FROM ("
+            + sampling.temperature_rebalance_sql("documents", "lang", 0.5, seed=4)
+            + ")"
         ),
         "pack_assignments": packing.pack_assignments_sql(_NT_SQL, 128),
         "pack_segments": packing.pack_segments_sql(_NT_SQL, 128),

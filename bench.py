@@ -178,6 +178,8 @@ def main() -> None:
         "dedup_winnow_overlap",
         "decontaminate_ngram",
         "pack_segments",
+        "sample_group_quota",
+        "sample_temperature",
         "vocab_topk",
         "text_repetition",
         "events_daily_counts",

@@ -241,6 +241,41 @@ def main() -> None:
         ],
     )
 
+    # 6e2. deterministic sampling: hash_sample is a pure filter (no
+    #      shuffle, no Python); quota keeps the heavy columns out of the
+    #      rank (semi-join of kept ids, rank half checkpointed); the
+    #      temperature factors arrive by broadcast and the upsampling
+    #      explode is a Generate, never a cartesian.
+    audit(
+        "sample_hash", qs["sample_hash"](spark, SF_DIR),
+        [
+            ("zero exchanges (pure filter)",
+             lambda plan: ("Exchange" not in tree_of(plan),
+                           "clean" if "Exchange" not in tree_of(plan)
+                           else "exchange present")),
+            ("no Python/Arrow eval", absent(r"BatchEvalPython|ArrowEval|MapInPandas")),
+        ],
+    )
+    audit(
+        "sample_group_quota", qs["sample_group_quota"](spark, SF_DIR),
+        [
+            ("kept ids return via semi-join", contains(r"LeftSemi")),
+            ("no cartesian product", absent(r"CartesianProduct")),
+            ("rank half severed behind checkpoint (skinny frame only)",
+             contains(r"Scan ExistingRDD")),
+        ],
+    )
+    audit(
+        "sample_temperature", qs["sample_temperature"](spark, SF_DIR),
+        [
+            ("group factors joined by broadcast", contains(r"BroadcastHashJoin")),
+            ("copies explode via Generate", contains(r"Generate")),
+            ("no cartesian product", absent(r"CartesianProduct")),
+            ("group counts partial-aggregated before their exchange",
+             contains(r"HashAggregate .*partial", re.I | re.S)),
+        ],
+    )
+
     # 6f. sequence packing: the visible (post-checkpoint) plan must keep
     #     the corpus-sized carried frame out of every exchange — offsets
     #     arrive by broadcast; the stats agg is partial-combined and its
