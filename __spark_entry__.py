@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from cdx_toolkit_spark.cdx_view import cdx_captures, oracle_cdx_cte
 from cdx_toolkit_spark.query import CdxQuery
 from cdx_toolkit_spark import dedup, render, similarity, textkit, multimodal
-from cdx_toolkit_spark import cluster, packing, sampling, winnow
+from cdx_toolkit_spark import cluster, packing, pii, sampling, winnow
 from cdx_toolkit_spark import ingest
 from cdx_toolkit_spark import warc as warcmod
 
@@ -275,6 +275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             textkit.quality_score_col("text"),
             textkit.bpe_token_count_col("text"),
+        ),
+        # PII redaction (pii.py): expression-only regex kernels in the
+        # Java∩RE2 dialect (cross-engine fuzz-pinned); documents get a
+        # deterministic PII garnish (email/IP/phone by doc_id residue) so
+        # the value-hash oracle exercises every pattern, not just no-ops
+        "pii_redact": lambda s, d: _pii_garnish(_docs(s, d)).select(
+            "doc_id", pii.redact_col("text"), *pii.pii_count_cols("text")
         ),
         # deterministic corpus sampling (sampling.py): membership from the
         # portable md5 bucket — stable across runs/partitionings, unlike
@@ -1333,6 +1340,46 @@ def _bucketed_cosine_oracle(threshold: float = 0.40, n_planes: int = 6,
     )
 
 
+def _pii_garnish(docs: DataFrame) -> DataFrame:
+    """documents with a deterministic PII garnish appended by doc_id
+    residue (email / dotted-quad / phone / none) — mirrored closed-form in
+    _PII_GARNISH_SQL so the oracle rebuilds the identical input."""
+    did = F.col("doc_id")
+    g = (
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" Contact user"), did.cast("string"),
+                     F.lit("@example.com.")),
+        )
+        .when(
+            did % 7 == 3,
+            F.concat(F.lit(" Host 10.0."), (did % 256).cast("string"),
+                     F.lit("."), ((did * 7) % 256).cast("string"),
+                     F.lit(" up.")),
+        )
+        .when(
+            did % 7 == 5,
+            F.concat(F.lit(" Call +1 555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"),
+                     F.lit(".")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), g).alias("text"))
+
+
+_PII_GARNISH_SQL = (
+    "SELECT doc_id, text || CASE"
+    " WHEN doc_id % 7 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)"
+    "   || '@example.com.'"
+    " WHEN doc_id % 7 = 3 THEN ' Host 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    "   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up.'"
+    " WHEN doc_id % 7 = 5 THEN ' Call +1 555-'"
+    "   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+    " ELSE '' END AS text FROM documents"
+)
+
+
 # DuckDB twin of textkit.token_count_col over documents (shared by the
 # packing oracles; same expression the pipeline/text_stats oracles inline)
 _NT_SQL = (
@@ -1589,6 +1636,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents, unnest(generate_series(1, "
             "  greatest(1, CAST(floor(n_chars / 100.0) AS BIGINT)))) AS g(i) "
             "WHERE doc_id % 3 = 2"
+        ),
+        "pii_redact": (
+            f"WITH g AS ({_PII_GARNISH_SQL})\n"
+            f"SELECT doc_id, {pii.redact_sql('text')}, "
+            + ", ".join(pii.pii_count_sql("text"))
+            + " FROM g"
         ),
         "sample_hash": (
             "SELECT * FROM documents WHERE "

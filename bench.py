@@ -178,6 +178,7 @@ def main() -> None:
         "dedup_winnow_overlap",
         "decontaminate_ngram",
         "pack_segments",
+        "pii_redact",
         "sample_group_quota",
         "sample_temperature",
         "vocab_topk",

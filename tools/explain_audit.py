@@ -241,6 +241,22 @@ def main() -> None:
         ],
     )
 
+    # 6e1. PII redaction: pure codegen'd projection — no shuffle, no
+    #      Python, and the scan prunes to the two used columns.
+    audit(
+        "pii_redact", qs["pii_redact"](spark, SF_DIR),
+        [
+            ("zero exchanges (pure projection)",
+             lambda plan: ("Exchange" not in tree_of(plan),
+                           "clean" if "Exchange" not in tree_of(plan)
+                           else "exchange present")),
+            ("no Python/Arrow eval",
+             absent(r"BatchEvalPython|ArrowEval|MapInPandas")),
+            ("scan reads only doc_id,text",
+             contains(r"ReadSchema: struct<doc_id:[^>,]*,text:[^>,]*>")),
+        ],
+    )
+
     # 6e2. deterministic sampling: hash_sample is a pure filter (no
     #      shuffle, no Python); quota keeps the heavy columns out of the
     #      rank (semi-join of kept ids, rank half checkpointed); the
