@@ -401,6 +401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair was never emitted), vs pipeline_near_dedup's SQL-friendly
         # greedy per-pair doc_b drop which can keep >1 doc of a chain
         "pipeline_near_dedup_cc": lambda s, d: _pipeline_near_dedup_cc(s, d),
+        # the FULL pretraining chain (dedup-cc -> decontaminate -> quality
+        # -> temperature rebalance -> split -> pack) as one composition,
+        # value-hash checked end-to-end against a 9-CTE oracle
+        "pipeline_pretrain": lambda s, d: _pipeline_pretrain(s, d),
         # --- similarity search ----------------------------------------------
         "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), k=5, n=_pq_rows(f"{d}/embeddings.parquet"),
@@ -623,6 +627,98 @@ def _pipeline_near_dedup_cc_oracle() -> str:
         "FROM t WHERE round(0.5 * least(1.0, nt / 64.0) + 0.5 * least(1.0,"
         "    4.0 * (CASE WHEN nt > 0 THEN CAST(sw AS DOUBLE) / nt"
         "           ELSE 0.0 END)), 6) >= 0.3"
+    )
+
+
+def _pipeline_pretrain(s: SparkSession, d: str) -> DataFrame:
+    """The whole pretraining data chain as ONE declarative composition:
+
+      cluster-correct near-dedup (LSH -> Jaccard verify -> connected
+      components) -> benchmark decontamination (eval carve-out doc_id%50==7,
+      broadcast eval shingles) -> quality gate -> temperature-α(0.5)
+      language rebalance (copies) -> hashed train/val/test split on
+      (doc, copy) rows -> concat-and-chunk packing of the train split.
+
+    Returns the train split's pack placement per (doc_id, copy). Every
+    stage reads the ONE persisted shingle frame where it applies; the
+    only Spark jobs at compose time are the adjudicated iterative-CC
+    rounds and the shingle/pair materializations they share. Copy ids
+    stay < 1024 (alpha=0.5 over a handful of language groups gives
+    factors ~O(1)), so row_id = doc_id*1024 + copy is collision-free."""
+    docs = _docs(s, d)
+    surv = cluster.cc_survivors(docs, _verified_pairs(s, d))
+    evalset = surv.where(F.col("doc_id") % 50 == 7)
+    train = surv.where(F.col("doc_id") % 50 != 7)
+    # shared shingle frame filtered to the train ids (contamination_table
+    # uses `shingles` verbatim for the train side)
+    sh_tr = _shared_shingles(s, d, docs).join(
+        train.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+    )
+    clean = dedup.decontaminate(train, evalset, n=3, shingles=sh_tr)
+    gated = clean.withColumn(
+        "quality", textkit.quality_score_col("text")
+    ).where(F.col("quality") >= 0.3)
+    reb = sampling.temperature_rebalance(gated, "lang", alpha=0.5, seed=4)
+    reb = reb.withColumn(
+        "row_id", F.col("doc_id") * 1024 + F.col("copy")
+    ).withColumn("split", textkit.split_assign_col("row_id"))
+    tr = reb.where(F.col("split") == "train")
+    packed = packing.pack_assignments(
+        tr, budget=128, id_col="row_id",
+        tokens_col=textkit.token_count_col("text"),
+    )
+    # packed.doc_id IS row_id (pack_assignments aliases its id input)
+    return packed.select(
+        F.expr("doc_id div 1024").alias("doc_id"),
+        (F.col("doc_id") % 1024).alias("copy"),
+        "n_tokens", "seq_start", "pack_id", "pack_offset", "n_packs",
+    )
+
+
+def _pipeline_pretrain_oracle() -> str:
+    cc = cluster.connected_components_sql(_verified_pairs_oracle())
+    contam = dedup.contamination_sql(
+        n=3, table="surv", eval_pred="doc_id % 50 = 7"
+    )
+    nt_expr = (
+        "CASE WHEN trim(text) = '' THEN 0"
+        " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    sw_expr = (
+        "len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        " x -> list_contains(['the','a','of','and','to'], x)))"
+    )
+    q_expr = (
+        f"round(0.5 * least(1.0, ({nt_expr}) / 64.0) + 0.5 * least(1.0,"
+        f" 4.0 * (CASE WHEN ({nt_expr}) > 0 THEN CAST(({sw_expr}) AS DOUBLE)"
+        f" / ({nt_expr}) ELSE 0.0 END)), 6)"
+    )
+    reb = sampling.temperature_rebalance_sql("gated", "lang", 0.5, seed=4)
+    pack = packing.pack_assignments_sql("SELECT row_id AS doc_id, nt FROM tr", 128)
+    split_case = textkit.split_assign_sql("row_id")
+    # every stage CTE is MATERIALIZED: DuckDB otherwise inlines a CTE once
+    # per reference, and this chain references each stage 2-3x downstream —
+    # the compounded re-evaluation goes exponential (stage walls measured
+    # doubling per CTE until the un-hinted query no longer terminated).
+    return (
+        f"WITH cc AS MATERIALIZED ({cc}),\n"
+        "dropped AS MATERIALIZED"
+        " (SELECT doc_id FROM cc WHERE doc_id <> component_id),\n"
+        "surv AS MATERIALIZED (SELECT * FROM documents"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),\n"
+        f"contam AS MATERIALIZED (SELECT doc_id FROM ({contam})),\n"
+        "clean AS MATERIALIZED (SELECT * FROM surv WHERE doc_id % 50 <> 7"
+        " AND doc_id NOT IN (SELECT doc_id FROM contam)),\n"
+        f"gated AS MATERIALIZED (SELECT doc_id, lang, text, {nt_expr} AS nt"
+        f" FROM clean WHERE {q_expr} >= 0.3),\n"
+        f"reb AS MATERIALIZED ({reb}),\n"
+        "wid AS MATERIALIZED"
+        " (SELECT *, doc_id * 1024 + copy AS row_id FROM reb),\n"
+        f"tr AS MATERIALIZED (SELECT * FROM wid"
+        f" WHERE ({split_case}) = 'train'),\n"
+        f"packed AS MATERIALIZED ({pack})\n"
+        "SELECT doc_id // 1024 AS doc_id, doc_id % 1024 AS copy, n_tokens,"
+        " seq_start, pack_id, pack_offset, n_packs FROM packed"
     )
 
 
@@ -1692,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
             _verified_pairs_oracle()
         ),
         "pipeline_near_dedup_cc": _pipeline_near_dedup_cc_oracle(),
+        "pipeline_pretrain": _pipeline_pretrain_oracle(),
         "politeness_schedule": _politeness_schedule_oracle(),
         "retry_classify": _retry_classify_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16),

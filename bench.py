@@ -171,6 +171,7 @@ def main() -> None:
         "pipeline_near_dedup",
         "pipeline_near_dedup_prod",
         "pipeline_near_dedup_cc",
+        "pipeline_pretrain",
         "text_stats",
         "text_lang_id",
         "fingerprint_winnow",

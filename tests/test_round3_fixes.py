@@ -28,8 +28,23 @@ def test_every_driver_entry_composes_with_zero_jobs(spark, sf_dir):
     # even with eager=False — the boundary sample must be drawn once, or
     # the offsets branch and the output branch would disagree on _pid).
     # That is real, used work any action would pay — not a compose-time
-    # sniff — so it is the one documented exemption.
-    exempt = {"politeness_schedule"}
+    # sniff — so it is the documented exemption, and it extends to the
+    # same two structural classes introduced in r5:
+    #   * boundary-pinning localCheckpoints in the exchange-free rank /
+    #     packing cumsum (rank.py, packing.py — identical reasoning);
+    #   * the iterative connected-components rounds (cluster.py), whose
+    #     convergence loop IS the computation — each round's joins are
+    #     work any action would pay, checkpointed so the returned frame
+    #     replays none of it.
+    exempt = {
+        "politeness_schedule",
+        "sample_group_quota",
+        "pack_assignments",
+        "pack_segments",
+        "dedup_cc_components",
+        "pipeline_near_dedup_cc",
+        "pipeline_pretrain",
+    }
 
     sc = spark.sparkContext
     offenders = {}

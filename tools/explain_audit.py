@@ -241,6 +241,25 @@ def main() -> None:
         ],
     )
 
+    # 6e0. the full pretraining composition: end-to-end keyed — the eval
+    #      shingle table and the temperature factors both arrive by
+    #      broadcast, no cartesian anywhere, converged CC labels and the
+    #      packing cumsum read back from checkpointed blocks.
+    audit(
+        "pipeline_pretrain", qs["pipeline_pretrain"](spark, SF_DIR),
+        [
+            ("no cartesian product", absent(r"CartesianProduct")),
+            ("broadcast joins present (eval shingles / factors / offsets)",
+             contains(r"BroadcastHashJoin")),
+            # the anti/semi dedup+decontaminate joins live upstream of the
+            # packing checkpoint — audited on their own entries
+            # (pipeline_near_dedup_cc, sample_group_quota) — the visible
+            # plan here is the packing tail and must stay broadcast-only
+            ("iterative/checkpointed stages severed (Scan ExistingRDD)",
+             contains(r"Scan ExistingRDD")),
+        ],
+    )
+
     # 6e1. PII redaction: pure codegen'd projection — no shuffle, no
     #      Python, and the scan prunes to the two used columns.
     audit(
