@@ -401,6 +401,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair was never emitted), vs pipeline_near_dedup's SQL-friendly
         # greedy per-pair doc_b drop which can keep >1 doc of a chain
         "pipeline_near_dedup_cc": lambda s, d: _pipeline_near_dedup_cc(s, d),
+        # keep-the-BEST cluster member (max quality, min-id ties) — the
+        # survivor policy production dedup wants; argmax via max_by over
+        # the clustered subset only
+        "dedup_cc_best": lambda s, d: cluster.cc_survivors(
+            _docs(s, d).withColumn("quality", textkit.quality_score_col("text")),
+            _verified_pairs(s, d),
+            keep_by="quality",
+        ).select("doc_id", "quality"),
         # the FULL pretraining chain (dedup-cc -> decontaminate -> quality
         # -> temperature rebalance -> split -> pack) as one composition,
         # value-hash checked end-to-end against a 9-CTE oracle
@@ -675,24 +683,48 @@ def _pipeline_pretrain(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# DuckDB twins of textkit token/stopword/quality expressions (shared by
+# the composed-pipeline and cc-best oracles)
+_NT_EXPR = (
+    "CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_SW_EXPR = (
+    "len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    " x -> list_contains(['the','a','of','and','to'], x)))"
+)
+_Q_EXPR = (
+    f"round(0.5 * least(1.0, ({_NT_EXPR}) / 64.0) + 0.5 * least(1.0,"
+    f" 4.0 * (CASE WHEN ({_NT_EXPR}) > 0 THEN CAST(({_SW_EXPR}) AS DOUBLE)"
+    f" / ({_NT_EXPR}) ELSE 0.0 END)), 6)"
+)
+
+
+def _dedup_cc_best_oracle() -> str:
+    cc = cluster.connected_components_sql(_verified_pairs_oracle())
+    return (
+        f"WITH cc AS MATERIALIZED ({cc}),\n"
+        f"q AS MATERIALIZED (SELECT doc_id, {_Q_EXPR} AS quality"
+        " FROM documents),\n"
+        "m AS (SELECT q.doc_id, q.quality, cc.component_id"
+        " FROM q JOIN cc USING (doc_id)),\n"
+        "win AS (SELECT component_id, doc_id AS w FROM (SELECT *,"
+        " row_number() OVER (PARTITION BY component_id"
+        " ORDER BY quality DESC, doc_id ASC) AS rk FROM m) WHERE rk = 1),\n"
+        "dropped AS (SELECT m.doc_id FROM m JOIN win USING (component_id)"
+        " WHERE m.doc_id <> win.w)\n"
+        "SELECT doc_id, quality FROM q"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"
+    )
+
+
 def _pipeline_pretrain_oracle() -> str:
     cc = cluster.connected_components_sql(_verified_pairs_oracle())
     contam = dedup.contamination_sql(
         n=3, table="surv", eval_pred="doc_id % 50 = 7"
     )
-    nt_expr = (
-        "CASE WHEN trim(text) = '' THEN 0"
-        " ELSE len(string_split_regex(trim(text), '\\s+')) END"
-    )
-    sw_expr = (
-        "len(list_filter(string_split_regex(trim(text), '\\s+'),"
-        " x -> list_contains(['the','a','of','and','to'], x)))"
-    )
-    q_expr = (
-        f"round(0.5 * least(1.0, ({nt_expr}) / 64.0) + 0.5 * least(1.0,"
-        f" 4.0 * (CASE WHEN ({nt_expr}) > 0 THEN CAST(({sw_expr}) AS DOUBLE)"
-        f" / ({nt_expr}) ELSE 0.0 END)), 6)"
-    )
+    nt_expr = _NT_EXPR
+    q_expr = _Q_EXPR
     reb = sampling.temperature_rebalance_sql("gated", "lang", 0.5, seed=4)
     pack = packing.pack_assignments_sql("SELECT row_id AS doc_id, nt FROM tr", 128)
     split_case = textkit.split_assign_sql("row_id")
@@ -1788,6 +1820,7 @@ def oracle_sql() -> dict[str, str]:
             _verified_pairs_oracle()
         ),
         "pipeline_near_dedup_cc": _pipeline_near_dedup_cc_oracle(),
+        "dedup_cc_best": _dedup_cc_best_oracle(),
         "pipeline_pretrain": _pipeline_pretrain_oracle(),
         "politeness_schedule": _politeness_schedule_oracle(),
         "retry_classify": _retry_classify_oracle(),

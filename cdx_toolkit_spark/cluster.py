@@ -119,15 +119,45 @@ def connected_components(
     )
 
 
-def cc_survivors(docs: DataFrame, pairs: DataFrame,
-                 id_col: str = "doc_id") -> DataFrame:
+def cc_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep_by=None,
+) -> DataFrame:
     """``docs`` minus every non-representative member of each duplicate
-    cluster: the component representative (min id) survives, every other
-    member is dropped, and documents in no pair pass through untouched.
-    One left-anti keyed join against the (small) drop list."""
+    cluster; documents in no pair pass through untouched.
+
+    Default policy keeps the min-id member (free: it IS the component
+    label). ``keep_by`` — a Column (or column name) evaluated over
+    ``docs`` — switches to keep-the-best: the member maximizing
+    (keep_by, -id), the policy production pipelines actually want (keep
+    the highest-quality copy, drop the rest). That costs one extra keyed
+    join + a max_by aggregate per component — both on the (small)
+    clustered subset, never the corpus.
+
+    Either way: one left-anti keyed join against the drop list."""
     cc = connected_components(pairs)
-    drop = cc.where(F.col("doc_id") != F.col("component_id")).select(
-        F.col("doc_id").alias(id_col)
+    if keep_by is None:
+        drop = cc.where(F.col("doc_id") != F.col("component_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return docs.join(drop, id_col, "left_anti")
+    keep = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+    members = docs.select(
+        F.col(id_col).alias("doc_id"), keep.alias("_keep")
+    ).join(cc, "doc_id")
+    # deterministic argmax: highest _keep, then LOWEST id (struct compare;
+    # negate the id so one max_by orders both)
+    winners = members.groupBy("component_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("_keep"), -F.col("doc_id"))
+        ).alias("_win")
+    )
+    drop = (
+        members.join(winners, "component_id")
+        .where(F.col("doc_id") != F.col("_win"))
+        .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(drop, id_col, "left_anti")
 

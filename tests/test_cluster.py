@@ -119,6 +119,28 @@ def test_cc_survivors_transitive_chain(spark):
     assert kept == [10, 99]  # 20 is dropped transitively; 99 untouched
 
 
+def test_cc_survivors_keep_by_quality(spark):
+    # cluster {1,2,3}: qualities 0.2/0.9/0.9 -> keep 2 (max quality,
+    # then lowest id breaks the 2-vs-3 tie); cluster {7,8}: keep 8.
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.5), (99, 0.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in cluster.cc_survivors(docs, pairs, keep_by="q").collect()
+    )
+    assert kept == [2, 8, 99]
+    # default policy on the same graph keeps min ids
+    kept_min = sorted(
+        r.doc_id for r in cluster.cc_survivors(docs, pairs).collect()
+    )
+    assert kept_min == [1, 7, 99]
+
+
 def test_cc_sql_twin_matches_spark(spark):
     import duckdb
 

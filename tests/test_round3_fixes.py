@@ -42,6 +42,7 @@ def test_every_driver_entry_composes_with_zero_jobs(spark, sf_dir):
         "pack_assignments",
         "pack_segments",
         "dedup_cc_components",
+        "dedup_cc_best",
         "pipeline_near_dedup_cc",
         "pipeline_pretrain",
     }
