@@ -68,6 +68,7 @@ def connected_components(
         "node", F.col("node").alias("lab")
     ).localCheckpoint(eager=False)
 
+    prev_total = object()  # sentinel unequal to any sum (incl. None)
     for _ in range(max_rounds):
         # 1. propagate: min over the neighborhood's labels. Join labels to
         #    the edge *source* side then MIN-aggregate per destination —
@@ -99,17 +100,18 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        # exact convergence: scalar count of changed labels (labels only
-        # decrease, so "unchanged this round" == global fixpoint).
-        changed = (
-            new.withColumnRenamed("lab", "_new")
-            .join(lab, "node")
-            .where(F.col("_new") != F.col("lab"))
-            .count()
-        )
+        # exact convergence: labels only ever DECREASE, so the global
+        # label sum is strictly monotone until the fixpoint — an unchanged
+        # sum means no label changed, no join against the previous round
+        # needed (one aggregate over the just-checkpointed blocks).
+        # decimal(38,0): sum(int64 ids) over 10^10 nodes overflows int64.
+        total = new.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("t")
+        ).first()[0]
         lab = new
-        if changed == 0:
+        if total == prev_total:
             break
+        prev_total = total
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"

@@ -141,6 +141,29 @@ def test_cc_survivors_keep_by_quality(spark):
     assert kept_min == [1, 7, 99]
 
 
+def test_cc_kept_subset_of_greedy_kept(spark, sf_dir):
+    """Structural invariant tying the two survivor policies together on
+    real data: a component's min id is never any pair's doc_b (doc_b >
+    doc_a and pairs stay within components), so greedy keeps every cc
+    survivor — cc-kept ⊆ greedy-kept, strictly smaller iff some chain has
+    a non-min member that never appears as doc_b (the (10,30),(20,30)
+    shape)."""
+    import __spark_entry__ as E
+
+    docs = E._docs(spark, sf_dir)
+    pairs = E._verified_pairs(spark, sf_dir)
+    cc_kept = {
+        r.doc_id for r in cluster.cc_survivors(docs, pairs).collect()
+    }
+    greedy_drop = {r.doc_b for r in pairs.select("doc_b").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    greedy_kept = all_ids - greedy_drop
+    assert cc_kept <= greedy_kept
+    # and both keep every unpaired doc
+    paired = {r.doc_a for r in pairs.select("doc_a").collect()} | greedy_drop
+    assert (all_ids - paired) <= cc_kept
+
+
 def test_cc_sql_twin_matches_spark(spark):
     import duckdb
 
