@@ -393,9 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified near-dup pair graph (pointer-jumping min-label, log-
         # diameter rounds of keyed joins — cdx_toolkit_spark/cluster.py).
         # component_id == min(doc_id in component), deterministic.
-        "dedup_cc_components": lambda s, d: cluster.connected_components(
-            _verified_pairs(s, d)
-        ),
+        "dedup_cc_components": lambda s, d: _cc_components(s, d),
         # the transitively-CORRECT survivor pipeline: one doc per duplicate
         # cluster survives (A~B~C collapses to A even though the (A,C)
         # pair was never emitted), vs pipeline_near_dedup's SQL-friendly
@@ -406,8 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the clustered subset only
         "dedup_cc_best": lambda s, d: cluster.cc_survivors(
             _docs(s, d).withColumn("quality", textkit.quality_score_col("text")),
-            _verified_pairs(s, d),
             keep_by="quality",
+            cc=_cc_components(s, d),
         ).select("doc_id", "quality"),
         # the FULL pretraining chain (dedup-cc -> decontaminate -> quality
         # -> temperature rebalance -> split -> pack) as one composition,
@@ -572,23 +570,51 @@ def _shared_shingles(s: SparkSession, d: str, docs: DataFrame) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+_VP_CACHE: dict = {}
+_CC_CACHE: dict = {}
+
+
 def _verified_pairs(
     s: SparkSession, d: str, portable: bool = True
 ) -> DataFrame:
     """The shared candidate→verify front half of the near-dedup pipelines:
     banded-LSH candidates intersected with exact-Jaccard verification,
     both stages reading ONE persisted shingle frame. Returns the verified
-    (doc_a, doc_b, ...) pair graph."""
-    docs = _docs(s, d)
-    shingles = _shared_shingles(s, d, docs)
-    cand = dedup.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, n=3, portable=portable,
-        shingles=shingles,
-    )
-    return dedup.verify_jaccard_pairs(
-        docs, cand, n=3, threshold_num=8, threshold_den=10, max_doc_freq=100,
-        shingles=shingles,
-    )
+    (doc_a, doc_b, ...) pair graph — lazily persisted and memoized per
+    (applicationId, sf_dir, portable) like the shingle frame: four driver
+    entries consume it (both cc entries, the cc pipeline, the pretrain
+    chain), and recomputing the LSH+verify plan per entry would rerun its
+    shuffles once per consumer."""
+    app = s.sparkContext.applicationId
+    for stale in [k for k in _VP_CACHE if k[0] != app]:
+        _VP_CACHE.pop(stale, None)
+    key = (app, d, portable)
+    if key not in _VP_CACHE:
+        docs = _docs(s, d)
+        shingles = _shared_shingles(s, d, docs)
+        cand = dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, n=3, portable=portable,
+            shingles=shingles,
+        )
+        _VP_CACHE[key] = dedup.verify_jaccard_pairs(
+            docs, cand, n=3, threshold_num=8, threshold_den=10,
+            max_doc_freq=100, shingles=shingles,
+        ).persist()
+    return _VP_CACHE[key]
+
+
+def _cc_components(s: SparkSession, d: str) -> DataFrame:
+    """Converged connected-components labels over the verified pair graph,
+    memoized per (applicationId, sf_dir). No persist() needed: the
+    returned frame is backed by the iteration's checkpointed blocks —
+    caching the HANDLE is what avoids replaying the rounds."""
+    app = s.sparkContext.applicationId
+    for stale in [k for k in _CC_CACHE if k[0] != app]:
+        _CC_CACHE.pop(stale, None)
+    key = (app, d)
+    if key not in _CC_CACHE:
+        _CC_CACHE[key] = cluster.connected_components(_verified_pairs(s, d))
+    return _CC_CACHE[key]
 
 
 def _verified_pairs_oracle() -> str:
@@ -607,7 +633,7 @@ def _pipeline_near_dedup_cc(s: SparkSession, d: str) -> DataFrame:
     _pipeline_near_dedup. Differs from the greedy per-pair drop exactly on
     transitive chains (A~B, B~C without an (A,C) pair)."""
     docs = _docs(s, d)
-    kept = cluster.cc_survivors(docs, _verified_pairs(s, d))
+    kept = cluster.cc_survivors(docs, cc=_cc_components(s, d))
     return kept.select(
         "doc_id",
         textkit.token_count_col("text"),
@@ -654,7 +680,7 @@ def _pipeline_pretrain(s: SparkSession, d: str) -> DataFrame:
     stay < 1024 (alpha=0.5 over a handful of language groups gives
     factors ~O(1)), so row_id = doc_id*1024 + copy is collision-free."""
     docs = _docs(s, d)
-    surv = cluster.cc_survivors(docs, _verified_pairs(s, d))
+    surv = cluster.cc_survivors(docs, cc=_cc_components(s, d))
     evalset = surv.where(F.col("doc_id") % 50 == 7)
     train = surv.where(F.col("doc_id") % 50 != 7)
     # shared shingle frame filtered to the train ids (contamination_table

@@ -123,9 +123,10 @@ def connected_components(
 
 def cc_survivors(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     keep_by=None,
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """``docs`` minus every non-representative member of each duplicate
     cluster; documents in no pair pass through untouched.
@@ -138,8 +139,16 @@ def cc_survivors(
     join + a max_by aggregate per component — both on the (small)
     clustered subset, never the corpus.
 
-    Either way: one left-anti keyed join against the drop list."""
-    cc = connected_components(pairs)
+    Either way: one left-anti keyed join against the drop list.
+
+    Pass ``cc`` (a (doc_id, component_id) frame, e.g. a memoized
+    connected_components result — its output is backed by checkpointed
+    blocks, so reusing the handle replays none of the iteration) to skip
+    recomputing components; ``pairs`` is then ignored and may be None."""
+    if cc is None:
+        if pairs is None:
+            raise ValueError("cc_survivors needs `pairs` or `cc`")
+        cc = connected_components(pairs)
     if keep_by is None:
         drop = cc.where(F.col("doc_id") != F.col("component_id")).select(
             F.col("doc_id").alias(id_col)
