@@ -23,7 +23,8 @@ Every step is an equi-join or hash aggregate on the node id: no
 cartesian products, no collect of the graph, and each round's frame is
 `localCheckpoint`ed so the plan stays O(1) deep instead of growing with
 the iteration count (the standard Spark iterative-algorithm pattern; the
-only driver-side values are the per-round scalar convergence counts).
+only driver-side value is one scalar label-sum per round, whose
+monotone fixpoint is the exact convergence test).
 
 Labels are node ids and only ever decrease toward the component minimum,
 so the fixpoint is exact and deterministic: component_id == min(doc_id in
@@ -52,7 +53,7 @@ def connected_components(
     where component_id = min node id reachable through the pair graph.
 
     ``max_rounds`` is a diverge guard, not a tuning knob: convergence is
-    detected exactly (zero labels changed), and pointer-jumping makes the
+    detected exactly (unchanged monotone label sum), and pointer-jumping makes the
     round count logarithmic in the largest component's diameter — 64
     covers any graph that fits in 2^64 ids. Raises RuntimeError if the
     guard is ever hit (it cannot be, short of a bug).
