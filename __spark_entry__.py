@@ -617,6 +617,55 @@ def _cc_components(s: SparkSession, d: str) -> DataFrame:
     return _CC_CACHE[key]
 
 
+def release_caches(spark: SparkSession | None = None) -> dict:
+    """Free every session-lifetime block the entry layer memoizes: the
+    persisted shingle frame (_SHINGLE_CACHE), the persisted verified-pair
+    graphs (_VP_CACHE), the checkpoint-backed CC label handles (_CC_CACHE)
+    and similarity's tracked intermediates (centroid blobs / salted
+    assignments) — then sweep any remaining persistent RDDs (orphaned
+    localCheckpoint blocks from politeness ranks / packing carries / CC
+    rounds, whose handles are already dropped or dropped here).
+
+    The memoized persists are deliberately session-lifetime for one-shot
+    driver runs, but in a LONG session they pin executor storage across
+    unrelated memory-sensitive work — BENCH_r05 recorded the pipelined
+    frontier drain 2x slower than serial with these blocks resident, so
+    bench.py calls this between the operator suite and the frontier
+    section (VERDICT r5 #1/#2).
+
+    After this call, any OUTSTANDING DataFrame handle backed by a
+    localCheckpoint (a previously returned cc_components frame, a
+    politeness rank) is invalid — localCheckpoint truncates lineage, so
+    the swept blocks cannot be recomputed. Entry callables build fresh
+    frames per call, so the driver contract is unaffected.
+
+    Returns {"unpersisted": n_frames, "swept": n_rdds}.
+    """
+    n_frames = 0
+    for cache in (_SHINGLE_CACHE, _VP_CACHE):
+        while cache:
+            _, f = cache.popitem()
+            try:
+                f.unpersist(blocking=True)
+                n_frames += 1
+            except Exception:
+                pass
+    _CC_CACHE.clear()  # handles only; blocks are swept below
+    n_frames += similarity.release_all()
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    n_swept = 0
+    if spark is not None:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            try:
+                jrdd.unpersist(True)
+                n_swept += 1
+            except Exception:
+                pass
+    return {"unpersisted": n_frames, "swept": n_swept}
+
+
 def _verified_pairs_oracle() -> str:
     return (
         "SELECT v.doc_a, v.doc_b FROM "

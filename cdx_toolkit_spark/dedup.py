@@ -650,7 +650,9 @@ def lsh_bucketed_cosine_pairs(
     count) splits buckets above the threshold into (bucket, salt)
     sub-groups via similarity._apply_hot_salts — ceil(n/thr)-way task
     parallelism for a pathological bucket (near-identical boilerplate
-    embeddings) at the price of replicating its member payload. Sizing
+    embeddings) at the price of replicating its member payload; per-task
+    memory still holds the full member set (work/straggler relief only —
+    see similarity.lsh_topk for the member-tiling lever). Sizing
     comes from a bucket histogram: ONE compose-time Spark job, the
     documented exception to zero-job composition (VERDICT r4 #2). Pair
     output is identical with salting on or off (pytest-pinned): within a

@@ -158,7 +158,7 @@ class BloomShardStore:
             shard_of(F.col(hash_col), n_shards).alias("shard"),
         )
 
-        def update(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def update(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             shard = int(key[0])
             counters = (
                 np.frombuffer(bytes(right["counters"].iloc[0]), dtype=np.uint8).copy()
@@ -218,7 +218,7 @@ class BloomShardStore:
             shard_of(F.col(hash_col), n_shards).alias("shard"),
         ).distinct()
 
-        def check(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def check(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             hashes = left["url_hash"].to_numpy(dtype=np.int64)
             if not len(hashes):
                 return pd.DataFrame({"url_hash": [], "maybe_seen": []}).astype(

@@ -210,8 +210,17 @@ class CuckooShardStore:
                 with open(tmp, "w") as fd:
                     json.dump({"index_scheme": INDEX_SCHEME}, fd)
                 os.replace(tmp, marker)
-            except OSError:
-                pass
+            except OSError as e:
+                # only read-only stores are tolerated marker-less; a
+                # genuine write failure (ENOSPC, EIO, ...) must surface
+                # NOW, not later as a misleading "legacy store (scheme 1)"
+                # error on a populated-but-marker-less path (ADVICE r5)
+                import errno
+
+                if e.errno not in (
+                    errno.EROFS, errno.EACCES, errno.EPERM
+                ):
+                    raise
 
     # -- versioning (same protocol as BloomShardStore) ---------------------
 
@@ -270,7 +279,7 @@ class CuckooShardStore:
             shard_of(F.col(hash_col), n_shards).alias("shard"),
         )
 
-        def update(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def update(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             shard = int(key[0])
             if len(right):
                 table = np.frombuffer(
@@ -330,7 +339,7 @@ class CuckooShardStore:
             shard_of(F.col(hash_col), n_shards).alias("shard"),
         ).distinct()
 
-        def check(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def check(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             hashes = left["url_hash"].to_numpy(dtype=np.int64)
             if not len(hashes):
                 return pd.DataFrame({"url_hash": [], "maybe_seen": []}).astype(

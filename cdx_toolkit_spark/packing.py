@@ -94,9 +94,14 @@ def pack_assignments(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # NULL token counts (a NULL-text doc makes token_count_col yield NULL)
+    # must not reach _cumsum_stream: Arrow hands a nullable int64 column to
+    # pandas as float64 with NaN, and cumsum().astype('int64') dies deep in
+    # the mapInPandas stage with an obscure non-finite-cast error. A NULL
+    # document occupies zero tokens — same as empty text (ADVICE r5).
     skinny = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        tok.cast("long").alias("n_tokens"),
+        F.coalesce(tok.cast("long"), F.lit(0)).alias("n_tokens"),
     )
     ranged = (
         skinny.repartitionByRange(n_range_parts, "doc_id")
@@ -194,10 +199,12 @@ def pack_segments(
 
 def pack_assignments_sql(nt_sql: str, budget: int) -> str:
     """DuckDB twin of pack_assignments. ``nt_sql`` must select
-    (doc_id, nt) — the token count per document."""
+    (doc_id, nt) — the token count per document. NULL counts coalesce to 0,
+    mirroring pack_assignments."""
     b = int(budget)
     return (
-        f"WITH t AS ({nt_sql}),\n"
+        f"WITH t0 AS ({nt_sql}),\n"
+        "t AS (SELECT doc_id, coalesce(nt, 0) AS nt FROM t0),\n"
         "c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)\n"
         "SELECT doc_id, nt AS n_tokens,\n"

@@ -108,7 +108,10 @@ def _apply_hot_salts(
     The composite key `bucket * (max_ns + 1) + salt` replaces `bucket` so
     the downstream streamed scorer needs no schema change; hot-bucket task
     parallelism becomes ns-way at the price of replicating the member
-    payload ns times (VERDICT r4 #2)."""
+    payload ns times (VERDICT r4 #2). Note: this splits WORK and
+    stragglers, not per-task memory — each (bucket, salt) sub-group still
+    carries the full member set (ADVICE r5; see lsh_topk docstring for
+    the member-tiling lever)."""
     spark = stamped.sparkSession
     cap = max(hot.values())
     hot_df = spark.createDataFrame(
@@ -180,7 +183,7 @@ def _pack_blocks(df: DataFrame, id_col: str, vec_col: str,
         .alias("block"),
     )
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
@@ -403,7 +406,10 @@ def ivf_topk(
     ensure_shipped(embeddings.sparkSession)
     spark = embeddings.sparkSession
     self_mode = queries is None
-    _persisted: list = []  # intermediates cached below; see release()
+    # intermediates cached below; see release()/release_all(). Every frame
+    # appended here is also registered module-wide in _TRACKED so a caller
+    # who transformed/lost the returned handle can still free the blocks.
+    _persisted: list = []
     spread = (
         (F.col("vid") % F.lit(2147483648)) * F.lit(2654435761)
     ) % F.lit(4294967296)
@@ -435,8 +441,11 @@ def ivf_topk(
             }
         )
 
+    def _pack_cents_grouped(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pack_cents(pdf)
+
     cent_blob = cents.groupBy(F.lit(0).alias("_g")).applyInPandas(
-        lambda key, pdf: pack_cents(pdf),
+        _pack_cents_grouped,
         "cids binary, cmat binary, cn int, cdim int",
     )
 
@@ -450,6 +459,7 @@ def ivf_topk(
         # session end (ADVICE r4).
         cent_blob = cent_blob.persist()
         _persisted.append(cent_blob)
+        _TRACKED.append(cent_blob)
     blocks = _pack_blocks(base, "vid", "vec", n_blocks)
     grid = blocks.crossJoin(F.broadcast(cent_blob))
 
@@ -518,6 +528,7 @@ def ivf_topk(
         # integer n_salts to keep composition job-free).
         ranked = ranked.persist()
         _persisted.append(ranked)
+        _TRACKED.append(ranked)
         ranked_persisted = True
         mx = (
             ranked.where(F.col("crank") == 1)
@@ -556,6 +567,7 @@ def ivf_topk(
             if not ranked_persisted:
                 ranked = ranked.persist()
                 _persisted.append(ranked)
+                _TRACKED.append(ranked)
             probes = ranked.withColumn("salt", own_salt).withColumn(
                 "role",
                 F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1)),
@@ -592,7 +604,7 @@ def ivf_topk(
                 probes.withColumn("salt", own_salt)
             )
 
-    def score_list(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_list(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
             {"q_id": "int64", "n_id": "int64", "cosine": "float64"}
         )
@@ -666,17 +678,60 @@ def ivf_topk(
     return out
 
 
-def release(df: DataFrame) -> None:
+# module-wide registry of every intermediate this module persisted, so a
+# long-lived session can free them even when the per-result handle was
+# lost (release() keys off a private attribute on the EXACT DataFrame
+# ivf_topk/lsh paths return — any wrapping transformation (.where/.select/
+# caller-side persist) yields a new object without it, silently no-oping
+# release; ADVICE r5). release_all() is the backstop.
+_TRACKED: list = []
+
+
+def release(df: DataFrame) -> int:
     """Unpersist intermediate frames that building `df`'s plan cached
     (ivf_topk's centroid blob / salted assignment, auto-salted LSH
     stampings). Call AFTER the result is materialized — the persists are
     lazy, so releasing earlier just recomputes them. Safe on any
-    DataFrame: a plan with no tracked persists is a no-op."""
+    DataFrame: a plan with no tracked persists is a no-op.
+
+    IMPORTANT: must receive the UN-TRANSFORMED handle the builder
+    returned — the tracking attribute does not survive .where()/.select()
+    or any other wrapping transformation, so release(topk.where(...))
+    silently frees nothing. Returns the number of frames released so a
+    surprising 0 is visible at the call site; release_all() frees every
+    tracked intermediate regardless of which handle survived (ADVICE r5).
+    """
+    freed = 0
     for f in getattr(df, "_cdx_persisted", ()):
         try:
             f.unpersist()
+            freed += 1
         except Exception:
             pass
+        try:
+            _TRACKED.remove(f)
+        except ValueError:
+            pass
+    return freed
+
+
+def release_all() -> int:
+    """Unpersist EVERY intermediate this module ever persisted in the
+    current process, whatever happened to the result handles. The backstop
+    for long-lived sessions (a per-round bench, a notebook): persisted
+    centroid blobs / salted assignments otherwise pin executor storage
+    until the application exits. Already-materialized results stay valid —
+    the freed frames are inputs to their plans, which recompute if ever
+    re-executed. Returns the number of frames released."""
+    freed = 0
+    while _TRACKED:
+        f = _TRACKED.pop()
+        try:
+            f.unpersist()
+            freed += 1
+        except Exception:
+            pass
+    return freed
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -725,18 +780,24 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket; exact cosine re-rank inside.
 
-    `hot_bucket_rows` bounds per-task bucket payloads (VERDICT r4 #2): the
-    streamed scorer otherwise holds one whole bucket in a single task's
-    pandas frame, so a pathological bucket (boilerplate near-identical
-    embeddings, the all-zero bucket) is a straggler/OOM risk at scale.
-    Pass "auto" (threshold 4*gemm_chunk) or an explicit row threshold: a
-    bucket histogram (ONE map-side-combined count job at compose — the
-    documented exception to zero-job composition) sizes per-bucket salts,
-    probe rows scatter across (bucket, salt) sub-groups and member rows
-    replicate to each, so a hot bucket scores in ceil(n/thr)-way parallel
-    tasks with per-task probe rows ~thr. 0 (default) keeps the zero-job
-    compose contract and single-task-per-bucket behavior; results are
-    IDENTICAL either way (pytest-pinned).
+    `hot_bucket_rows` splits a hot bucket's scoring WORK across tasks
+    (VERDICT r4 #2): the streamed scorer otherwise scores one whole bucket
+    in a single task, so a pathological bucket (boilerplate near-identical
+    embeddings, the all-zero bucket) is a straggler at scale. Pass "auto"
+    (threshold 4*gemm_chunk) or an explicit row threshold: a bucket
+    histogram (ONE map-side-combined count job at compose — the documented
+    exception to zero-job composition) sizes per-bucket salts, probe rows
+    scatter across (bucket, salt) sub-groups and member rows replicate to
+    each, so a hot bucket's GEMM runs in ceil(n/thr)-way parallel tasks
+    with ~thr probe rows each. This is straggler/parallelism relief ONLY —
+    per-task MEMORY is not reduced, because every sub-group still holds
+    the full member set (members replicate to all salts); if per-task
+    memory ever binds, the lever is tiling the member side too (emit
+    partial top-k per member tile and let the existing global merge window
+    combine them — partials are already merge-safe) (ADVICE r5). 0
+    (default) keeps the zero-job compose contract and
+    single-task-per-bucket behavior; results are IDENTICAL either way
+    (pytest-pinned).
 
     `queries` searches the corpus with an EXTERNAL query set (see
     ivf_topk): query vectors are stamped with the same hyperplanes and
