@@ -186,6 +186,7 @@ def main() -> None:
         "text_repetition",
         "events_daily_counts",
         "warc_ingest",
+        "cli_iter_lines",
         "pywb_jsonl_decode",
         "politeness_schedule",
         "retry_classify",
