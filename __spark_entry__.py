@@ -147,7 +147,9 @@ def _cli_iter_lines(s: SparkSession, d: str) -> DataFrame:
             "--fields", "url,status,timestamp",
         ]
     )
-    df = cli._build_iter(cmd, s)
+    # the known catalog keeps composition job-free (zero-jobs contract);
+    # interactive CLI runs discover it instead — see cli._query
+    df = cli._build_iter(cmd, s, crawls=_VIEW_CRAWLS)
     df = render.winnow_fields(
         df, compat.normalize_field_names(cmd.fields.split(","))
     )

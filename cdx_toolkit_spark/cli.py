@@ -107,16 +107,24 @@ def main(args=None, spark=None):
     return cmd.func(cmd, spark)
 
 
-def _query(cmd, spark):
+def _query(cmd, spark, crawls=None):
+    """`crawls` optionally injects a known crawl catalog (the CDX index
+    list). Interactive CLI runs leave it None and pay CdxQuery's one
+    catalog-discovery collect (the reference reads collinfo.json the same
+    way, commoncrawl.py:36-75); programmatic callers with a catalog in
+    hand (the driver entry, a deployment with Iceberg table metadata)
+    pass it so composing stays job-free."""
     from .cdx_view import cdx_captures
     from .query import CdxQuery
 
     dialect = "ia" if cmd.ia else "cc"
-    return CdxQuery(cdx_captures(spark, cmd.sf_dir), dialect=dialect)
+    return CdxQuery(
+        cdx_captures(spark, cmd.sf_dir), dialect=dialect, crawls=crawls
+    )
 
 
-def _build_iter(cmd, spark):
-    q = _query(cmd, spark)
+def _build_iter(cmd, spark, crawls=None):
+    q = _query(cmd, spark, crawls=crawls)
     kw = dict(
         from_ts=cmd.from_ts,
         to=cmd.to,
