@@ -647,18 +647,17 @@ def lsh_bucketed_cosine_pairs(
     jobs; omitted, a first() sniff runs as a fallback (VERDICT r2 #4).
 
     `hot_bucket_rows` ("auto" => threshold 4*max_block, or an explicit row
-    count) splits buckets above the threshold into (bucket, salt)
-    sub-groups via similarity._apply_hot_salts — ceil(n/thr)-way task
-    parallelism for a pathological bucket (near-identical boilerplate
-    embeddings) at the price of replicating its member payload; per-task
-    memory still holds the full member set (work/straggler relief only —
-    see similarity.lsh_topk for the member-tiling lever). Sizing
+    count) splits buckets above the threshold into an ns×ns (probe-salt ×
+    member-tile) grid via similarity._apply_hot_salts — bounding each
+    task's probe AND member slices at ~thr rows, i.e. per-task memory and
+    not just parallelism (r6, ADVICE r5's member-tiling lever). Sizing
     comes from a bucket histogram: ONE compose-time Spark job, the
     documented exception to zero-job composition (VERDICT r4 #2). Pair
     output is identical with salting on or off (pytest-pinned): within a
-    hot bucket each (a, b) pair scores exactly once — a's probe copy lives
-    in one salt, b's member copies in all — and the doc_a < doc_b filter
-    keeps the canonical orientation.
+    hot bucket each (a, b) pair scores exactly once — a's probe copy and
+    b's member copy meet only in grid cell (salt(a), tile(b)) — and the
+    doc_a < doc_b filter keeps the canonical orientation across the
+    role-symmetric rediscovery.
 
     This is the composition `embedding_cosine_pairs`'s docstring promises:
     the O(n^2) block grid collapses to sum(bucket^2) — at 10^9 vectors with

@@ -100,18 +100,30 @@ def _hot_bucket_salts(stamped: DataFrame, thr: int, cap: int = 64) -> dict:
 def _apply_hot_salts(
     stamped: DataFrame, hot: dict, has_roles: bool
 ) -> DataFrame:
-    """Split hot buckets into (bucket, salt) sub-groups — the ivf_topk
-    n_salts mechanism applied per bucket: probe rows scatter to their own
-    pmod(xxhash64(id), ns) salt; member rows replicate to every salt, so
-    every (probe, member) pair meets in exactly one sub-group. Cold
-    buckets pass through untouched (salt 0) with role 3 (member+probe).
-    The composite key `bucket * (max_ns + 1) + salt` replaces `bucket` so
-    the downstream streamed scorer needs no schema change; hot-bucket task
-    parallelism becomes ns-way at the price of replicating the member
-    payload ns times (VERDICT r4 #2). Note: this splits WORK and
-    stragglers, not per-task memory — each (bucket, salt) sub-group still
-    carries the full member set (ADVICE r5; see lsh_topk docstring for
-    the member-tiling lever)."""
+    """Split hot buckets into an ns×ns (probe-salt × member-tile) GRID of
+    sub-groups. Probe rows take their own pmod(xxhash64(id), ns) probe
+    salt and replicate across every member tile; member rows take their
+    own member tile and replicate across every probe salt — so every
+    (probe, member) pair meets in EXACTLY ONE sub-group (probe's salt ×
+    member's tile), and each sub-group holds only ~n_probes/ns probe rows
+    AND ~n_members/ns member rows. This bounds per-task MEMORY at
+    ~2·threshold rows, not just per-task work: the r4/r5 probe-salt-only
+    scheme replicated the FULL member set into every sub-group, which
+    split stragglers but left the pathological-bucket payload intact
+    (ADVICE r5 — member tiling is that advice's suggested lever; the
+    partials from different tiles are merge-safe because the pairs kernel
+    keeps one canonical orientation via doc_a < doc_b and the top-k
+    kernel merges per-(q,n) partials in the global rank window, with each
+    member in exactly one tile so no (q,n) duplicates arise). Self-pair
+    masking still fires: a probe visits every tile, including the one
+    holding its own member copy.
+
+    Cold buckets pass through untouched (grid cell (0,0)) with role 3
+    (member+probe). The composite key
+    `bucket * (cap+1)² + salt_p * (cap+1) + salt_m` replaces `bucket`, so
+    the downstream streamed scorers need no schema change. Replication
+    cost: ns× for members AND ns× for probes (the old scheme paid ns× on
+    members only) — the price of a true memory bound."""
     spark = stamped.sparkSession
     cap = max(hot.values())
     hot_df = spark.createDataFrame(
@@ -121,33 +133,42 @@ def _apply_hot_salts(
     base = base.join(F.broadcast(hot_df), "bucket", "left").withColumn(
         "ns", F.coalesce(F.col("ns"), F.lit(1))
     )
-    cold = base.where(F.col("ns") == 1).withColumn("salt", F.lit(0))
+    cold = (
+        base.where(F.col("ns") == 1)
+        .withColumn("salt_p", F.lit(0))
+        .withColumn("salt_m", F.lit(0))
+    )
     own = F.pmod(
         F.xxhash64(F.col("vec_id")), F.col("ns").cast("long")
     ).cast("int")
+    every = F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
     hot_probes = (
         base.where(
             (F.col("ns") > 1) & (F.col("role").bitwiseAND(F.lit(1)) != 0)
         )
-        .withColumn("salt", own)
+        .withColumn("salt_p", own)
+        .withColumn("salt_m", every)
         .withColumn("role", F.lit(1))
     )
     hot_members = (
         base.where(
             (F.col("ns") > 1) & (F.col("role").bitwiseAND(F.lit(2)) != 0)
         )
-        .withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
-        )
+        .withColumn("salt_m", own)
+        .withColumn("salt_p", every)
         .withColumn("role", F.lit(2))
     )
+    span = F.lit(cap + 1).cast("long")
     return (
         cold.unionByName(hot_probes)
         .unionByName(hot_members)
         .withColumn(
-            "bucket", F.col("bucket") * F.lit(cap + 1) + F.col("salt")
+            "bucket",
+            F.col("bucket") * span * span
+            + F.col("salt_p") * span
+            + F.col("salt_m"),
         )
-        .drop("ns", "salt")
+        .drop("ns", "salt_p", "salt_m")
     )
 
 
@@ -780,24 +801,21 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket; exact cosine re-rank inside.
 
-    `hot_bucket_rows` splits a hot bucket's scoring WORK across tasks
-    (VERDICT r4 #2): the streamed scorer otherwise scores one whole bucket
-    in a single task, so a pathological bucket (boilerplate near-identical
-    embeddings, the all-zero bucket) is a straggler at scale. Pass "auto"
-    (threshold 4*gemm_chunk) or an explicit row threshold: a bucket
-    histogram (ONE map-side-combined count job at compose — the documented
-    exception to zero-job composition) sizes per-bucket salts, probe rows
-    scatter across (bucket, salt) sub-groups and member rows replicate to
-    each, so a hot bucket's GEMM runs in ceil(n/thr)-way parallel tasks
-    with ~thr probe rows each. This is straggler/parallelism relief ONLY —
-    per-task MEMORY is not reduced, because every sub-group still holds
-    the full member set (members replicate to all salts); if per-task
-    memory ever binds, the lever is tiling the member side too (emit
-    partial top-k per member tile and let the existing global merge window
-    combine them — partials are already merge-safe) (ADVICE r5). 0
-    (default) keeps the zero-job compose contract and
-    single-task-per-bucket behavior; results are IDENTICAL either way
-    (pytest-pinned).
+    `hot_bucket_rows` bounds a hot bucket's per-task WORK AND MEMORY
+    (VERDICT r4 #2; ADVICE r5): the streamed scorer otherwise holds one
+    whole bucket in a single task's pandas frame, so a pathological bucket
+    (boilerplate near-identical embeddings, the all-zero bucket) is a
+    straggler/OOM risk at scale. Pass "auto" (threshold 4*gemm_chunk) or
+    an explicit row threshold: a bucket histogram (ONE map-side-combined
+    count job at compose — the documented exception to zero-job
+    composition) sizes per-bucket salts ns, and the bucket splits into an
+    ns×ns (probe-salt × member-tile) grid — each sub-group holds ~thr
+    probe rows AND ~thr member rows (see _apply_hot_salts; the r4/r5
+    probe-salt-only scheme replicated the full member set per sub-group,
+    bounding work but not memory). Partials from different tiles merge in
+    the existing global rank window. 0 (default) keeps the zero-job
+    compose contract and single-task-per-bucket behavior; results are
+    IDENTICAL either way (pytest-pinned).
 
     `queries` searches the corpus with an EXTERNAL query set (see
     ivf_topk): query vectors are stamped with the same hyperplanes and

@@ -201,9 +201,10 @@ def test_lsh_topk_auto_salt_equals_unsalted(spark):
 
 
 def test_hot_bucket_salting_splits_into_bounded_subgroups(spark):
-    """The structural claim behind auto-salting: a bucket holding ~50% of
-    all rows is split into >1 (bucket, salt) sub-groups, each scoring a
-    bounded probe slice (members replicated)."""
+    """The structural claim behind auto-salting (r6 grid scheme): a bucket
+    holding ~50% of all rows splits into an ns×ns (probe-salt ×
+    member-tile) grid, and EVERY sub-group's probe slice AND member slice
+    are bounded — per-task memory, not just per-task work (ADVICE r5)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     emb = _hot_bucket_embeddings(spark)
@@ -221,22 +222,30 @@ def test_hot_bucket_salting_splits_into_bounded_subgroups(spark):
     assert ns > 1
     salted = similarity._apply_hot_salts(stamped, hot, has_roles=False)
     cap = max(hot.values())
-    probe_counts = {
-        r["bucket"]: r["n"]
-        for r in salted.where(F.col("role").bitwiseAND(F.lit(1)) != 0)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    sub = {
-        b: c
-        for b, c in probe_counts.items()
-        if b // (cap + 1) == hot_bucket
-    }
-    assert len(sub) == ns, f"expected {ns} sub-groups, got {len(sub)}"
-    # hash scatter is approximately balanced — each sub-group's probe
-    # slice must be well under the whole bucket and near thr
-    assert all(c <= 2 * thr for c in sub.values()), sub
+    span = cap + 1
+
+    def per_subgroup(role_bit):
+        rows = (
+            salted.where(F.col("role").bitwiseAND(F.lit(role_bit)) != 0)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {
+            r["bucket"]: r["n"]
+            for r in rows
+            if r["bucket"] // (span * span) == hot_bucket
+        }
+
+    probes = per_subgroup(1)
+    members = per_subgroup(2)
+    assert len(probes) == ns * ns, (ns, len(probes))
+    assert len(members) == ns * ns, (ns, len(members))
+    # hash scatter is approximately balanced — each sub-group's probe AND
+    # member slices must be well under the whole bucket and near thr:
+    # the per-task pandas frame is now O(2*thr), the true memory bound
+    assert all(c <= 2 * thr for c in probes.values()), probes
+    assert all(c <= 2 * thr for c in members.values()), members
 
 
 def test_ivf_auto_salts_hot_list_and_matches_unsalted(spark):
