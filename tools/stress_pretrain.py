@@ -43,9 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from pyspark.sql import functions as F
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 BUDGET = 2048
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ALPHA = 0.5
 REB_SEED = 4
 GRAN = 1_000_000
@@ -93,7 +91,7 @@ def _bucket(i: int, seed: int) -> int:
     return int(h[8:16], 16) % GRAN
 
 
-def model(n: int) -> dict:
+def model(n: int, budget: int = BUDGET) -> dict:
     ids = np.arange(n, dtype=np.int64)
     dup = ids % 10 == 1
     n_dups = int(dup.sum())
@@ -124,7 +122,7 @@ def model(n: int) -> dict:
     starts = cum - nts
     ends = cum
     n_packs = np.where(
-        nts > 0, (ends - 1) // BUDGET - starts // BUDGET + 1, 0
+        nts > 0, (ends - 1) // budget - starts // budget + 1, 0
     )
     return {
         "n_dups": n_dups,
@@ -136,19 +134,18 @@ def model(n: int) -> dict:
         "n_train_split": len(rows),
         "token_total": int(nts.sum()),
         "sum_n_packs": int(n_packs.sum()),
-        "max_pack_id": int((int(nts.sum()) - 1) // BUDGET),
+        "max_pack_id": int((int(nts.sum()) - 1) // budget),
     }
 
 
-def main() -> None:
-    from cdx_toolkit_spark.session import get_spark
+def run_stress(spark, n: int, budget: int = BUDGET) -> dict:
+    """Run the composed chain at `n` synthetic docs and check all nine
+    closed-form invariants; returns the result record (see main). Shared
+    by the CLI probe and the pytest harness (tests/test_stress_pretrain)."""
     from cdx_toolkit_spark import cluster, dedup, sampling, textkit, packing
 
-    spark = get_spark("stress_pretrain", cpus=CPUS, shuffle_partitions=CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-
     t_model = time.monotonic()
-    exp = model(N)
+    exp = model(n, budget)
     t_model = time.monotonic() - t_model
 
     walls: dict[str, float] = {}
@@ -160,7 +157,7 @@ def main() -> None:
         walls[name] = round(time.monotonic() - t0, 3)
         return out
 
-    docs = synth_docs(spark, N)
+    docs = synth_docs(spark, n)
 
     # -- dedup front half (shared shingles, prod xxhash64 minhash)
     shingles = dedup.shingle_table(docs, n=3).persist()
@@ -224,7 +221,7 @@ def main() -> None:
 
     tr = reb.where(F.col("split") == "train")
     packed = packing.pack_assignments(
-        tr, budget=BUDGET, id_col="row_id",
+        tr, budget=budget, id_col="row_id",
         tokens_col=textkit.token_count_col("text"),
     )
     agg = tick(
@@ -245,19 +242,28 @@ def main() -> None:
 
     clean.unpersist()
     total_wall = round(sum(walls.values()), 3)
-    out = {
-        "n_docs": N,
-        "budget": BUDGET,
-        "cpus": CPUS,
+    return {
+        "n_docs": n,
+        "budget": budget,
         "walls_sec": walls,
         "total_wall_sec": total_wall,
-        "docs_per_sec": round(N / total_wall, 1),
+        "docs_per_sec": round(n / total_wall, 1),
         "model_sec": round(t_model, 3),
         "expected": {k: v for k, v in exp.items() if k != "factors"},
         "factors": exp["factors"],
         "checks": checks,
         "all_green": all(checks.values()),
     }
+
+
+def main() -> None:
+    from cdx_toolkit_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("stress_pretrain", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = dict(run_stress(spark, n), cpus=cpus)
     print(json.dumps(out))
     if not out["all_green"]:
         sys.exit(1)
