@@ -652,12 +652,16 @@ def lsh_bucketed_cosine_pairs(
     task's probe AND member slices at ~thr rows, i.e. per-task memory and
     not just parallelism (r6, ADVICE r5's member-tiling lever). Sizing
     comes from a bucket histogram: ONE compose-time Spark job, the
-    documented exception to zero-job composition (VERDICT r4 #2). Pair
-    output is identical with salting on or off (pytest-pinned): within a
-    hot bucket each (a, b) pair scores exactly once — a's probe copy and
-    b's member copy meet only in grid cell (salt(a), tile(b)) — and the
-    doc_a < doc_b filter keeps the canonical orientation across the
-    role-symmetric rediscovery.
+    documented exception to zero-job composition (VERDICT r4 #2). The
+    pair SET is identical with salting on or off (pytest-pinned): within
+    a hot bucket each (a, b) pair scores exactly once — a's probe copy
+    and b's member copy meet only in grid cell (salt(a), tile(b)) — and
+    the doc_a < doc_b filter keeps the canonical orientation across the
+    role-symmetric rediscovery. Cosine VALUES agree to machine epsilon
+    but not bit-exactly (BLAS summation order depends on the GEMM shape —
+    the same caveat the multi-seed max(cosine) dedupe documents), so a
+    pair whose cosine sits within an ulp of `threshold` can flip
+    membership; true of any float-threshold plan under any re-tiling.
 
     This is the composition `embedding_cosine_pairs`'s docstring promises:
     the O(n^2) block grid collapses to sum(bucket^2) — at 10^9 vectors with

@@ -135,3 +135,46 @@ def test_cuckoo_marker_write_failure_surfaces(spark, tmp_path, monkeypatch):
     assert not os.path.isfile(
         os.path.join(str(tmp_path / "s2"), cmod._SCHEME_MARKER)
     )
+
+
+def test_grid_salting_nonvacuous_at_sf_embeddings(spark, sf_dir):
+    """Grid tiling pinned on the real embeddings table with a threshold
+    low enough that EVERY bucket salts (the sf tables hold 500 vectors
+    over 16 buckets of 19-48 rows; a larger threshold silently tests the
+    unsalted plan — vacuous). Top-k ranks must be identical; the pairs
+    path must produce the identical pair SET with cosines equal to
+    machine epsilon (BLAS summation order differs across GEMM shapes —
+    the documented multi-seed caveat)."""
+    import numpy as np
+
+    from cdx_toolkit_spark import dedup
+
+    emb = spark.read.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(k=5, n_planes=4, dim=64, id_col="vec_id")
+    plain = sorted(map(tuple, similarity.lsh_topk(emb, **kw).collect()))
+    salted = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(emb, **kw, hot_bucket_rows=16).collect(),
+        )
+    )
+    assert plain == salted and len(plain) > 0
+
+    pkw = dict(threshold=0.3, n_planes=4, dim=64, id_col="vec_id")
+    p1 = {
+        (r[0], r[1]): r[2]
+        for r in dedup.lsh_bucketed_cosine_pairs(emb, **pkw).collect()
+    }
+    p2 = {
+        (r[0], r[1]): r[2]
+        for r in dedup.lsh_bucketed_cosine_pairs(
+            emb, **pkw, hot_bucket_rows=16
+        ).collect()
+    }
+    assert set(p1) == set(p2) and len(p1) > 0
+    assert np.allclose(
+        [p1[k] for k in sorted(p1)], [p2[k] for k in sorted(p1)],
+        rtol=0, atol=1e-12,
+    )

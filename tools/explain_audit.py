@@ -191,6 +191,42 @@ def main() -> None:
         ],
     )
 
+    # 6c2b. grid-salted LSH ANN (r6, ADVICE r5): hot buckets split into a
+    #       probe-salt x member-tile GRID. The plan must show the hot map
+    #       arriving by BROADCAST (never a shuffled join of the corpus
+    #       against the tiny histogram), the grid fan-out as Expand/
+    #       explode-side Generate (no corpus self-join), and scoring still
+    #       one bucket shuffle + Arrow stream.
+    from cdx_toolkit_spark import similarity as _sim
+
+    _emb_for_salt = spark.read.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).parquet(f"{SF_DIR}/embeddings.parquet")
+    audit(
+        "ann_lsh_topk_grid_salted",
+        # thr=16: sf0.01 holds 500 vectors over 16 buckets (19-48 rows
+        # each), so a 64-row threshold salts NOTHING and the audit would
+        # assert against an unsalted plan (vacuous)
+        _sim.lsh_topk(
+            _emb_for_salt, k=5, n_planes=4, dim=64, id_col="vec_id",
+            hot_bucket_rows=16,
+        ),
+        [
+            ("hot-bucket map joins by broadcast",
+             contains(r"BroadcastHashJoin")),
+            ("no shuffled join against the hot map",
+             absent(r"SortMergeJoin|ShuffledHashJoin")),
+            ("grid fan-out is generate/explode, not a self-join",
+             contains(r"Generate\b[\s\S]*?explode")),
+            ("scoring is Arrow-streamed (per-sub-group GEMM)",
+             contains(r"MapInPandas")),
+            ("one shuffle routes rows to their grid cell",
+             contains(r"hashpartitioning\(bucket")),
+            ("no interpreted per-pair dot product",
+             absent(r"zip_with")),
+        ],
+    )
+
     # 6c3. bucketed cosine dedup (r4): pair emission Arrow-streamed over
     #      bucket-sorted partitions; one bucket shuffle; no join anywhere
     #      (sum(bucket^2) pairs, never an all-pairs or bucket self-join)
