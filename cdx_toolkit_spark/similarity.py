@@ -412,7 +412,13 @@ def ivf_topk(
          price of replicating the member payload. `n_salts="auto"` sizes
          the split from the data: one map-side-combined per-list count
          (the ONE compose-time Spark job of auto mode; see VERDICT r4 #2)
-         splits the largest list to ~`auto_salt_rows` members per task;
+         and — r6 — salts SELECTIVELY: only lists above `auto_salt_rows`
+         enter a broadcast hot map (each split to ~auto_salt_rows members
+         per task), while cold lists keep the single-task salt-0 layout
+         with no replicas at all. An integer n_salts stays uniform across
+         lists (job-free compose) — at 10^9 vectors with one hot list,
+         uniform replication of every cold list is the dominant waste,
+         which is why auto is the deployment default;
       4. a global window merges per-list partials into the final top-k
          (salt-agnostic: each probe/member pair scores in exactly one
          sub-group).
@@ -539,26 +545,38 @@ def ivf_topk(
         make_assign(nprobe if queries is None else 1), _RANKED_SCHEMA
     )
     ranked_persisted = False
+    hot_lists: dict | None = None
     if n_salts == "auto":
         # size hot-list parallelism from the data instead of a caller knob
         # (VERDICT r4 #2): persist the assignment (it is consumed by the
         # histogram AND the scoring plan), one map-side-combined count per
-        # list, split the largest list to ~auto_salt_rows member rows per
-        # (list, salt) task. This runs ONE Spark job at compose — the
-        # documented exception to the zero-job-compose contract (pass an
-        # integer n_salts to keep composition job-free).
+        # list. This runs ONE Spark job at compose — the documented
+        # exception to the zero-job-compose contract (pass an integer
+        # n_salts to keep composition job-free).
+        #
+        # r6: auto mode salts SELECTIVELY per list. The r5 form took the
+        # max list count and applied that ns to EVERY list — at 10^9
+        # vectors with one hot list that replicates every cold list's
+        # members ns× for nothing (the replica shuffle dominates the very
+        # cost salting is meant to relieve). Only lists above
+        # auto_salt_rows enter the broadcast hot map; cold lists keep the
+        # single-task layout.
         ranked = ranked.persist()
         _persisted.append(ranked)
         _TRACKED.append(ranked)
         ranked_persisted = True
-        mx = (
+        hot_rows = (
             ranked.where(F.col("crank") == 1)
             .groupBy("list_id")
             .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n"))
-            .first()[0]
+            .where(F.col("n") > auto_salt_rows)
+            .collect()
         )
-        n_salts = max(1, min(64, -(-int(mx or 0) // auto_salt_rows)))
+        hot_lists = {
+            int(r["list_id"]): min(64, -(-int(r["n"]) // auto_salt_rows))
+            for r in hot_rows
+        }
+        n_salts = max(hot_lists.values(), default=1)
     # -- 3. per-list chunked GEMM + partial top-k (the dedup
     # lsh_bucketed_cosine_pairs memory-bounding pattern). One plain groupBy
     # on `ranked` — each group carries BOTH roles, encoded in a bitmask
@@ -570,7 +588,78 @@ def ivf_topk(
     # member) pair scores in exactly one (list_id, salt) task.
     own_salt = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_salts)).cast("int")
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
-    if queries is None:
+
+    if hot_lists:
+        # selective per-list salting (auto mode, r6): only the hot lists
+        # named by the histogram split; every cold list keeps the
+        # single-task layout with salt 0 — no replicas, no scatter.
+        hot_df = spark.createDataFrame(
+            sorted(hot_lists.items()), "list_id long, ns int"
+        )
+
+        def with_ns(df):
+            return df.join(F.broadcast(hot_df), "list_id", "left").withColumn(
+                "ns", F.coalesce(F.col("ns"), F.lit(1))
+            )
+
+        own_by_ns = F.pmod(
+            F.xxhash64(F.col("vid")), F.col("ns").cast("long")
+        ).cast("int")
+        if queries is None:
+            base = with_ns(ranked)
+            probes = (
+                base.withColumn(
+                    "salt",
+                    F.when(F.col("ns") > 1, own_by_ns)
+                    .otherwise(F.lit(0))
+                    .cast("int"),
+                )
+                .withColumn(
+                    "role",
+                    F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1)),
+                )
+                .drop("ns")
+            )
+            replicas = (
+                base.where((F.col("ns") > 1) & (F.col("crank") == 1))
+                .withColumn(
+                    "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
+                )
+                .where(F.col("salt") != own_by_ns)
+                .withColumn("role", F.lit(2))
+                .drop("ns")
+            )
+            grouped = probes.unionByName(replicas)
+        else:
+            qbase = queries.select(
+                F.col(id_col).cast("long").alias("vid"),
+                F.col(vec_col).alias("vec"),
+            )
+            qblocks = _pack_blocks(qbase, "vid", "vec", n_blocks)
+            qranked = qblocks.crossJoin(F.broadcast(cent_blob)).mapInPandas(
+                make_assign(nprobe), _RANKED_SCHEMA
+            )
+            members = (
+                with_ns(ranked.where(F.col("crank") == 1))
+                .withColumn(
+                    "salt", F.explode(F.sequence(F.lit(0), F.col("ns") - 1))
+                )
+                .withColumn("role", F.lit(2))
+                .drop("ns")
+            )
+            probes = (
+                with_ns(qranked)
+                .withColumn(
+                    "salt",
+                    F.when(F.col("ns") > 1, own_by_ns)
+                    .otherwise(F.lit(0))
+                    .cast("int"),
+                )
+                .withColumn("role", F.lit(1))
+                .drop("ns")
+            )
+            grouped = members.unionByName(probes)
+    elif queries is None:
         if n_salts <= 1:
             grouped = ranked.withColumn(
                 "salt", F.lit(0).cast("int")
@@ -579,12 +668,14 @@ def ivf_topk(
                 F.when(F.col("crank") == 1, F.lit(3)).otherwise(F.lit(1)),
             )
         else:
+            # UNIFORM manual salting (integer n_salts): applies ns to every
+            # list — keeps composition job-free, at the cost of replicating
+            # cold lists too; pass "auto" for the selective histogram form.
             # probes and replicas are TWO consumers of the assignment
             # lineage — without a persist the per-block centroid GEMM +
             # uvec packing runs twice (once per union branch), doubling the
             # very stage salting is meant to relieve. Lazy persist:
             # composing still runs zero jobs. Tracked for release().
-            # (already persisted when the auto histogram sized n_salts)
             if not ranked_persisted:
                 ranked = ranked.persist()
                 _persisted.append(ranked)

@@ -178,3 +178,23 @@ def test_grid_salting_nonvacuous_at_sf_embeddings(spark, sf_dir):
         [p1[k] for k in sorted(p1)], [p2[k] for k in sorted(p1)],
         rtol=0, atol=1e-12,
     )
+
+
+def test_ivf_auto_selective_no_hot_lists_is_plain(spark):
+    """Selective auto (r6): a threshold above every list's member count
+    must resolve to NO salting at all (max ns == 1, no hot map, no
+    replicas) and still match the unsalted plan — the r5 uniform form
+    would have replicated every list whenever ANY list crossed the
+    threshold."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 11 - 5) for j in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(k=3, nlist=4, nprobe=2)
+    plain = sorted(map(tuple, similarity.ivf_topk(emb, **kw).collect()))
+    auto_df = similarity.ivf_topk(
+        emb, **kw, n_salts="auto", auto_salt_rows=10_000
+    )
+    assert auto_df._cdx_n_salts == 1
+    assert sorted(map(tuple, auto_df.collect())) == plain
+    similarity.release(auto_df)
