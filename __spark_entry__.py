@@ -156,6 +156,22 @@ def _cli_iter_lines(s: SparkSession, d: str) -> DataFrame:
     return df.select(render.kv_lines_col(df))
 
 
+def _cli_size_details(s: SparkSession, d: str) -> DataFrame:
+    """`cdxt --cc --from 2015 --to 2018 size 'example0.com/*' --details`
+    (/root/reference/cdx_toolkit/cli.py:118-127 prints one per-index
+    line) through the real argparse surface and the same
+    cli._build_size_details plan sizer() streams from."""
+    from cdx_toolkit_spark import cli
+
+    cmd = cli.make_parser().parse_args(
+        [
+            "--cc", "--from", "2015", "--to", "2018", "--sf-dir", d,
+            "size", "example0.com/*", "--details",
+        ]
+    )
+    return cli._build_size_details(cmd, s, crawls=_VIEW_CRAWLS)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query (driver smoke check at sf0.001)
 # ---------------------------------------------------------------------------
@@ -250,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver oracle (VERDICT r5 #6). Same plan shape as kv_render, so
         # it shares that oracle SQL.
         "cli_iter_lines": _cli_iter_lines,
+        "cli_size_details": _cli_size_details,
         "url_fgrep": lambda s, d: _q(s, d)
         .build("example0.com/*", from_ts="2015", to="2018")
         .where(F.col("url").contains("www."))
@@ -1771,6 +1788,12 @@ def oracle_sql() -> dict[str, str]:
             "  AND timestamp >= '20150101000000' AND timestamp <= '20181231235959' "
             f"  {asc_order} LIMIT 25"
             ") t"
+        ),
+        "cli_size_details": _wrap(
+            "SELECT crawl, count(*) AS n_captures FROM cdx "
+            f"WHERE {p0} "
+            "AND timestamp >= '20150101000000' AND timestamp <= '20181231235959' "
+            "GROUP BY crawl ORDER BY crawl"
         ),
         "url_fgrep": _wrap(
             f"SELECT {_CDX_COLS} FROM cdx "

@@ -187,6 +187,7 @@ def main() -> None:
         "events_daily_counts",
         "warc_ingest",
         "cli_iter_lines",
+        "cli_size_details",
         "pywb_jsonl_decode",
         "politeness_schedule",
         "retry_classify",

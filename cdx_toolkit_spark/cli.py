@@ -256,21 +256,36 @@ def warcer(cmd, spark) -> int:
     return 0
 
 
-def sizer(cmd, spark) -> int:
+def _build_size_details(cmd, spark, crawls=None):
+    """The `cdxt size --details` plan: per-crawl capture counts (the
+    reference prints one line per index endpoint, cli.py:118-127 of
+    /root/reference/cdx_toolkit/cli.py). Shared by sizer() and the
+    cli_size_details driver entry; `crawls` as in _query."""
     from pyspark.sql import functions as F
 
+    q = _query(cmd, spark, crawls=crawls)
+    kw = dict(
+        from_ts=cmd.from_ts, to=cmd.to, filter=cmd.filter,
+        crawl=cmd.crawl.split(",") if cmd.crawl else None,
+    )
+    return (
+        q.build(cmd.url, **kw)
+        .groupBy("crawl")
+        .agg(F.count(F.lit(1)).alias("n_captures"))
+        .orderBy("crawl")
+    )
+
+
+def sizer(cmd, spark) -> int:
+    if cmd.details:
+        for row in _build_size_details(cmd, spark).toLocalIterator():
+            print(f"{row['crawl']}: {row['n_captures']}")
+        return 0
     q = _query(cmd, spark)
     kw = dict(
         from_ts=cmd.from_ts, to=cmd.to, filter=cmd.filter,
         crawl=cmd.crawl.split(",") if cmd.crawl else None,
     )
-    if cmd.details:
-        df = q.build(cmd.url, **kw).groupBy("crawl").agg(
-            F.count(F.lit(1)).alias("n_captures")
-        ).orderBy("crawl")
-        for row in df.toLocalIterator():
-            print(f"{row['crawl']}: {row['n_captures']}")
-        return 0
     n = q.size_estimate(cmd.url, **kw).first()["n_captures"]
     print(n)
     return 0
