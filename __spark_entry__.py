@@ -156,6 +156,34 @@ def _cli_iter_lines(s: SparkSession, d: str) -> DataFrame:
     return df.select(render.kv_lines_col(df))
 
 
+def _cli_warc_select(s: SparkSession, d: str) -> DataFrame:
+    """`cdxt warc 'example0.com/*' --url-fgrep www. --warc-download-prefix
+    <fixture>` — the record-selection half of the warc command
+    (/root/reference/cdx_toolkit/cli.py:235-266: url match + fgrep over
+    the source collection), through the real argparse surface and the
+    same cli._build_warc_selection plan warcer() fetches from. The
+    fetch/write half stays covered by warc_ingest + test_cli (writing
+    segments is a side effect, not a DataFrame)."""
+    from cdx_toolkit_spark import cli
+
+    fx = warcmod.ensure_warc_fixture(s, d)
+    cmd = cli.make_parser().parse_args(
+        [
+            "--cc", "--sf-dir", d,
+            "warc", "example0.com/*", "--url-fgrep", "www.",
+            "--warc-download-prefix", fx,
+        ]
+    )
+    idx = cli._build_warc_selection(cmd, s)
+    return idx.select(
+        F.regexp_extract("record_id", r"(\d{12})>$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        "warc_type",
+    )
+
+
 def _cli_size_details(s: SparkSession, d: str) -> DataFrame:
     """`cdxt --cc --from 2015 --to 2018 size 'example0.com/*' --details`
     (/root/reference/cdx_toolkit/cli.py:118-127 prints one per-index
@@ -267,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # it shares that oracle SQL.
         "cli_iter_lines": _cli_iter_lines,
         "cli_size_details": _cli_size_details,
+        "cli_warc_select": _cli_warc_select,
         "url_fgrep": lambda s, d: _q(s, d)
         .build("example0.com/*", from_ts="2015", to="2018")
         .where(F.col("url").contains("www."))
@@ -1965,6 +1994,15 @@ def oracle_sql() -> dict[str, str]:
             ") t WHERE rk <= 3"
         ),
         "warc_ingest": _warc_ingest_oracle(),
+        # the warc command's selection predicates, expressed independently
+        # on the URL text (the Spark side goes through SURT urlkey match)
+        "cli_warc_select": (
+            "SELECT doc_id, url, warc_type FROM ("
+            + _warc_ingest_oracle()
+            + ") t WHERE regexp_matches(url,"
+            " '^https?://(www\\.)?example0\\.com/')"
+            " AND url LIKE '%www.%'"
+        ),
         "robots_parse": _robots_parse_oracle(),
         "wb_reconstruct": _wb_reconstruct_oracle(),
         # decoders: wire text round-trips the derived view, so the oracle is

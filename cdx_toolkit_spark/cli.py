@@ -166,23 +166,20 @@ def iterator(cmd, spark) -> int:
     return 0
 
 
-def warcer(cmd, spark) -> int:
-    """cdxt warc: select captures, range-fetch their records from the source
-    segments, write size-targeted extracted WARCs (reference cli.py:235-276:
-    filter -> fetch_warc_record -> writer with warcinfo)."""
+def _build_warc_selection(cmd, spark):
+    """The `cdxt warc` record-selection plan: index the source segment
+    collection, keep response/revisit records, apply the same URL-match +
+    fgrep predicates iter uses (reference cli.py:260-266). Shared by
+    warcer() and the cli_warc_select driver entry."""
     from pyspark.sql import functions as F
 
     from . import warc as warcmod
+    from .query import url_match_predicate
+    from .surt import surt_col
 
     if not cmd.warc_download_prefix:
         raise ValueError("warc requires --warc-download-prefix "
                          "(directory of source .warc.gz segments)")
-    from .query import url_match_predicate
-
-    # index the source collection, select by url match + fgrep filters on
-    # the SURT key — the same predicates iter uses
-    from .surt import surt_col
-
     idx = warcmod.read_warc(
         spark, os.path.join(cmd.warc_download_prefix, "*.warc.gz")
     ).where(F.col("warc_type").isin("response", "revisit"))
@@ -196,6 +193,18 @@ def warcer(cmd, spark) -> int:
         idx = idx.where(~F.col("url").contains(cmd.url_fgrepv))
     if cmd.limit:
         idx = idx.limit(cmd.limit)
+    return idx
+
+
+def warcer(cmd, spark) -> int:
+    """cdxt warc: select captures, range-fetch their records from the source
+    segments, write size-targeted extracted WARCs (reference cli.py:235-276:
+    filter -> fetch_warc_record -> writer with warcinfo)."""
+    from pyspark.sql import functions as F
+
+    from . import warc as warcmod
+
+    idx = _build_warc_selection(cmd, spark)
 
     # reference cli.py:274-275: warn per revisit record being resolved.
     # Per-row lines only when --limit bounds the selection; unbounded, the
