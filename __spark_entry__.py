@@ -319,9 +319,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_doc_freq=100,
         ),
         # portable=True: md5-derived hashes, bit-identical in DuckDB, so both
-        # probabilistic kernels carry full value-hash oracles (VERDICT r1 #3)
+        # probabilistic kernels carry full value-hash oracles (VERDICT r1 #3).
+        # r7: both variants read the SAME memoized persisted shingle frame
+        # the pipelines already share (identical rows; the tokenize+shingle
+        # pass is the measured cost floor and ran once per entry before)
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), num_hashes=64, bands=16, n=3, portable=True,
+            shingles=_shared_shingles(s, d, _docs(s, d)),
         ),
         # the PRODUCTION hash path (xxhash64 shingle hashes + long band
         # keys — what a deployment runs; the md5-portable twin above
@@ -330,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver benches both variants (VERDICT r3 #4).
         "dedup_minhash_lsh_prod": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), num_hashes=64, bands=16, n=3, portable=False,
+            shingles=_shared_shingles(s, d, _docs(s, d)),
         ),
         # max_hamming=3 — the sound pigeonhole radius (16-bit chunk keys);
         # the r1 max_hamming=12 setting degenerated to a near-cross-join
@@ -408,10 +413,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), k=8, w=8, impl="arrow"
         ),
         # near-dup pairs by winnowing-fingerprint set overlap (inverted
-        # index self-join on fp, integer-exact Jaccard, ubiquitous-fp cap)
+        # index self-join on fp, integer-exact Jaccard, ubiquitous-fp cap).
+        # r7: the (doc, fp) index is built ONCE by the numpy-vectorized
+        # arrow kernel (bit-identical to the expression form — shared
+        # oracle + pytest pin) and persisted via _winnow_fps; the plan
+        # otherwise re-ran the fingerprint kernel once per consumer
+        # (df cap, sizes, both join sides)
         "dedup_winnow_overlap": lambda s, d: winnow.winnow_overlap_pairs(
             _docs(s, d), k=8, w=8, threshold_num=1, threshold_den=4,
-            max_doc_freq=100,
+            max_doc_freq=100, fps=_winnow_fps(s, d),
         ),
         # global top-k token counts (BPE/tokenizer vocabulary prep):
         # map-side-combined count + TakeOrderedAndProject, no global sort
@@ -423,12 +433,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # benchmark decontamination (GPT-3/Pile n-gram practice): flag train
         # docs sharing word n-grams with an eval set; eval shingles are
-        # BROADCAST so the 100 TB train side joins without a shuffle
+        # BROADCAST so the 100 TB train side joins without a shuffle.
+        # r7: the train side filters the memoized shared shingle frame
+        # (shingle_table(docs) restricted to train doc ids — identical rows
+        # to shingle_table(train docs)) instead of re-running the explode
         "decontaminate_ngram": lambda s, d: (
             lambda docs: dedup.contamination_table(
                 docs.where(F.col("doc_id") % 50 != 7),
                 docs.where(F.col("doc_id") % 50 == 7),
                 n=3,
+                shingles=_shared_shingles(s, d, docs).where(
+                    F.col("doc") % 50 != 7
+                ),
             )
         )(_docs(s, d)),
         # deterministic shuffle-free train/val/test assignment (portable
@@ -654,13 +670,38 @@ def _shared_shingles(s: SparkSession, d: str, docs: DataFrame) -> DataFrame:
 
 _VP_CACHE: dict = {}
 _CC_CACHE: dict = {}
-# per-call persisted stage boundaries (not memoized — just tracked so
-# release_caches() can free them): the pretrain chain's decontaminated
-# survivor frame is consumed by several downstream branches (rebalance
-# weights aggregate + join, packing's skinny scan); the 1M-doc stress
-# probe (tools/stress_pretrain.py) measured the unstaged chain paying
-# the decontaminate lineage once per consumer.
+_FPS_CACHE: dict = {}
+
+
+def _winnow_fps(s: SparkSession, d: str) -> DataFrame:
+    """Memoized persisted distinct (doc, fp) winnowing-fingerprint index
+    (k=8, w=8) — the r7 shared frame for the overlap-pairs entry. Built by
+    the numpy-vectorized arrow kernel (bit-identical to the expression
+    form: both share the driver oracle and are equality-pinned in pytest);
+    persisted because the overlap plan reads it four times (df cap, sizes,
+    both join sides). Freed by release_caches()."""
+    app = s.sparkContext.applicationId
+    for stale in [k for k in _FPS_CACHE if k[0] != app]:
+        _FPS_CACHE.pop(stale, None)
+    key = (app, d)
+    if key not in _FPS_CACHE:
+        _FPS_CACHE[key] = (
+            winnow.winnow_fingerprint_table(_docs(s, d), 8, 8, impl="arrow")
+            .select(F.col("doc_id").alias("doc"), "fp")
+            .distinct()
+            .persist()
+        )
+    return _FPS_CACHE[key]
+# persisted stage boundaries tracked so release_caches() can free them:
+# the pretrain chain's decontaminated survivor frame is consumed by
+# several downstream branches (rebalance weights aggregate + join,
+# packing's skinny scan); the 1M-doc stress probe
+# (tools/stress_pretrain.py) measured the unstaged chain paying the
+# decontaminate lineage once per consumer. _STAGE_KEYED memoizes them per
+# (applicationId, sf_dir, stage) so repeated entry calls reuse one copy
+# (ADVICE r6).
 _STAGE_PERSISTS: list = []
+_STAGE_KEYED: dict = {}
 
 
 def _verified_pairs(
@@ -706,7 +747,9 @@ def _cc_components(s: SparkSession, d: str) -> DataFrame:
     return _CC_CACHE[key]
 
 
-def release_caches(spark: SparkSession | None = None) -> dict:
+def release_caches(
+    spark: SparkSession | None = None, sweep_orphans: bool = True
+) -> dict:
     """Free every session-lifetime block the entry layer memoizes: the
     persisted shingle frame (_SHINGLE_CACHE), the persisted verified-pair
     graphs (_VP_CACHE), the checkpoint-backed CC label handles (_CC_CACHE)
@@ -731,7 +774,7 @@ def release_caches(spark: SparkSession | None = None) -> dict:
     Returns {"unpersisted": n_frames, "swept": n_rdds}.
     """
     n_frames = 0
-    for cache in (_SHINGLE_CACHE, _VP_CACHE):
+    for cache in (_SHINGLE_CACHE, _VP_CACHE, _FPS_CACHE):
         while cache:
             _, f = cache.popitem()
             try:
@@ -746,11 +789,20 @@ def release_caches(spark: SparkSession | None = None) -> dict:
             n_frames += 1
         except Exception:
             pass
+    _STAGE_KEYED.clear()  # memo handles for the frames just unpersisted
     _CC_CACHE.clear()  # handles only; blocks are swept below
     n_frames += similarity.release_all()
+    # sweep_orphans=True (default, what bench.py relies on) additionally
+    # unpersists EVERY persistent RDD in the session — including persists/
+    # localCheckpoints owned by caller code outside the entry layer
+    # (ADVICE r6: session-global by design; pass False in a notebook that
+    # holds its own cached frames, which would otherwise be silently freed
+    # — localCheckpoint-backed ones unrecoverably).
     if spark is None:
         spark = SparkSession.getActiveSession()
     n_swept = 0
+    if not sweep_orphans:
+        spark = None
     if spark is not None:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in list(jmap.values()):
@@ -838,8 +890,21 @@ def _pipeline_pretrain(s: SparkSession, d: str) -> DataFrame:
     # the packing scan — re-reads this frame instead of re-executing the
     # decontaminate lineage per branch (seam measured by
     # tools/stress_pretrain.py at 1M docs). Freed by release_caches().
-    clean = dedup.decontaminate(train, evalset, n=3, shingles=sh_tr).persist()
-    _STAGE_PERSISTS.append(clean)
+    # r7 (ADVICE r6): memoized per (applicationId, sf_dir) like the other
+    # entry caches, so a driver calling the entry repeatedly in one
+    # session pins ONE survivor-frame copy, not one per call.
+    app = s.sparkContext.applicationId
+    ckey = (app, d, "pretrain_clean")
+    cached = _STAGE_KEYED.get(ckey)
+    if cached is None:
+        for stale in [k for k in _STAGE_KEYED if k[0] != app]:
+            _STAGE_KEYED.pop(stale, None)
+        cached = dedup.decontaminate(
+            train, evalset, n=3, shingles=sh_tr
+        ).persist()
+        _STAGE_KEYED[ckey] = cached
+        _STAGE_PERSISTS.append(cached)
+    clean = cached
     gated = clean.withColumn(
         "quality", textkit.quality_score_col("text")
     ).where(F.col("quality") >= 0.3)

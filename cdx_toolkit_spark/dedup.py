@@ -157,16 +157,21 @@ def ngram_jaccard_pairs(
         F.explode(ngram_shingles_col(n, text_col)).alias("shingle"),
     ).where(F.col("shingle") != "")
     if max_doc_freq is not None:
-        # shingles are deduped per-doc, so count(*) per shingle == doc freq;
-        # the agg is map-side-combined and the join shuffles on `shingle`,
-        # the same key the self-join below needs — no extra exchange shape.
-        rare = (
+        # shingles are deduped per-doc, so count(*) per shingle == doc freq.
+        # r7: filter by ANTI-joining the UBIQUITOUS set (df > cap) instead
+        # of inner-joining the rare set — identical rows, but the right side is
+        # tiny by construction (only boilerplate shingles exceed the cap),
+        # so AQE broadcasts it and the exploded table crosses no exchange
+        # for the filter (guide §3.1/§3.2); the rare-set inner join
+        # shuffled the whole shingle table against a near-full copy of
+        # itself.
+        ubiq = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_doc_freq)
+            .where(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(ubiq, "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -225,13 +230,16 @@ def verify_jaccard_pairs(
         else shingle_table(docs, n, id_col, text_col)
     ).where(F.col("shingle") != "")
     if max_doc_freq is not None:
-        rare = (
+        # anti-join the tiny ubiquitous set instead of inner-joining the
+        # near-full rare set (r7 — see ngram_jaccard_pairs): same rows,
+        # one broadcastable exchange instead of a full-table shuffle join
+        ubiq = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_doc_freq)
+            .where(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(ubiq, "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     edges = pairs.select("doc_a", "doc_b")
     a_sh = sh.select(F.col("doc").alias("doc_a"), "shingle")
@@ -463,7 +471,14 @@ def simhash_signatures(
         F.col(id_col).alias("doc"),
         F.explode(tokens_col(text_col)).alias("tok"),
     ).where(F.col("tok") != "")
-    h = hash64_col(F.col("tok"), 0, portable)
+    # materialize the token hash as a column BEFORE the 64 vote
+    # aggregations: each vote expression references the hash, and codegen
+    # subexpression elimination does not reliably dedupe the md5+conv
+    # subtree across 64 aggregate inputs — referencing an attribute
+    # guarantees ONE hash evaluation per token (r7; same let-bind rule as
+    # winnow._let / the lang-id kernel)
+    toks = toks.select("doc", hash64_col(F.col("tok"), 0, portable).alias("h"))
+    h = F.col("h")
     votes = [
         F.sum(
             F.when(

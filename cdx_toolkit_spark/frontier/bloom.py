@@ -69,6 +69,36 @@ def _positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     return ((h[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
 
+# per-WORKER counter cache for the small-store direct probe: keyed by
+# (store path, version); one version resident at a time. Lives at module
+# level in a shipped module, so a reused Python worker
+# (spark.python.worker.reuse=true, the default) keeps it across tasks and
+# micro-batches — the load runs once per worker per version (guide §4.5).
+_PROBE_CACHE: dict = {}
+
+
+def _load_counters(path: str, version: int) -> dict:
+    key = (path, version)
+    cts = _PROBE_CACHE.get(key)
+    if cts is None:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(path, format="parquet").to_table(
+            columns=["shard", "counters"],
+            filter=ds.field("version") == version,
+        )
+        cts = {
+            int(s): np.frombuffer(b, dtype=np.uint8)
+            for s, b in zip(
+                tbl.column("shard").to_pylist(),
+                tbl.column("counters").to_pylist(),
+            )
+        }
+        _PROBE_CACHE.clear()  # keep ONE version resident per worker
+        _PROBE_CACHE[key] = cts
+    return cts
+
+
 def shard_of(url_hash, n_shards: int):
     c = F.col(url_hash) if isinstance(url_hash, str) else url_hash
     return F.pmod(c, F.lit(n_shards)).cast("int")
@@ -78,7 +108,8 @@ class BloomShardStore:
     """Counting-bloom shards persisted as versioned parquet under `path`."""
 
     def __init__(self, spark: SparkSession, path: str, n_shards: int = 16,
-                 m_bits: int = 1 << 20, k: int = 5):
+                 m_bits: int = 1 << 20, k: int = 5,
+                 probe_broadcast_bytes: int = 0):
         from ..shipping import ensure_shipped
 
         ensure_shipped(spark)
@@ -87,6 +118,18 @@ class BloomShardStore:
         self.n_shards = n_shards
         self.m_bits = m_bits
         self.k = k
+        # OPT-IN direct-probe strategy (r7, measured): when > 0 and the
+        # WHOLE counter store fits under this budget, probe() flags keys
+        # in a single projected pandas_udf whose workers load the counters
+        # from the store files (cached per worker per VERSION) — zero
+        # shuffles, no flag join-back. A/B on a 128 MiB store, 500k keys,
+        # 32 workers: repeated probes of one version 0.5 s vs cogroup
+        # 1.4-1.8 s; but a FRESH version per probe (the drain's per-epoch
+        # pattern) costs 3.5-5.7 s — every worker reloads the store — so
+        # the default is 0 (always cogroup). Enable for read-mostly
+        # workloads that probe one version many times (a dedup service,
+        # a backfill), sized to worker memory (one store copy per worker).
+        self.probe_broadcast_bytes = probe_broadcast_bytes
         # in-process version cache: latest_version() is otherwise a small
         # Spark job (parquet read + max agg) and the drain asks 3-4 times
         # PER EPOCH — pure fixed overhead that caps scaling efficiency.
@@ -101,7 +144,9 @@ class BloomShardStore:
         if self._version_cache is not None and not refresh:
             return self._version_cache
         try:
-            df = self.spark.read.parquet(self.path)
+            # explicit schema: a schemaless parquet read runs a footer
+            # inference pass first — pure per-call overhead (r7, guide §6)
+            df = self.spark.read.schema(SHARD_SCHEMA).parquet(self.path)
         except Exception:
             # cache the 0 only when the store is CONFIRMED absent/empty; a
             # transient read failure must not pin 0 for the process
@@ -120,8 +165,10 @@ class BloomShardStore:
         return self._version_cache
 
     def _read_version(self, version: int) -> DataFrame:
-        return self.spark.read.parquet(self.path).where(
-            F.col("version") == version
+        return (
+            self.spark.read.schema(SHARD_SCHEMA)
+            .parquet(self.path)
+            .where(F.col("version") == version)
         )
 
     # -- mutation ----------------------------------------------------------
@@ -205,21 +252,61 @@ class BloomShardStore:
     def probe(self, keys: DataFrame, hash_col: str = "url_hash",
               version: int | None = None) -> DataFrame:
         """keys + maybe_seen flag. No false negatives; positives need the
-        exact backstop. The counter blob meets the key batch once per shard
-        (cogroup), flags join back to the caller broadcast-style on the
-        distinct hash set."""
+        exact backstop.
+
+        Two plans (r7):
+        - default: cogrouped per-shard pass — the counter blob meets the
+          key batch once per shard (never replicated per key row) and
+          per-worker memory is bounded by one shard, not the store. r7
+          dropped the key-set `.distinct()` (a full shuffle; `np.unique`
+          in the kernel keeps the one-flag-row-per-hash invariant).
+        - opt-in (`probe_broadcast_bytes` > 0, store fits): a single
+          projected pandas_udf whose WORKERS load the counter blobs from
+          the store files, cached module-level per (path, version) so a
+          reused worker pays the load once per version, not per task
+          (guide §4.5; an sc.broadcast was measured 10 s/epoch slower —
+          every Python worker unpickles the full store). Zero exchanges,
+          but every worker reloads the store once per VERSION — a win
+          only for read-mostly repeated probes (see __init__ A/B note).
+        Flag semantics are identical (same _positions, same counters)."""
         version = version if version is not None else self.latest_version()
         m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
         if version == 0:
             return keys.withColumn("maybe_seen", F.lit(False))
+        if self.n_shards * self.m_bits <= self.probe_broadcast_bytes:
+            path = self.path
+
+            @F.pandas_udf("boolean")
+            def _maybe_seen(h: pd.Series) -> pd.Series:
+                hashes = h.to_numpy(dtype=np.int64)
+                if not len(hashes):
+                    return pd.Series([], dtype=bool)
+                cts = _load_counters(path, version)
+                # numpy mod follows the divisor's sign => pmod semantics
+                shard = np.mod(hashes, n_shards)
+                pos = _positions(hashes, m_bits, k)
+                seen = np.zeros(len(hashes), dtype=bool)
+                for s in np.unique(shard):
+                    sel = shard == s
+                    c = cts.get(int(s))
+                    if c is None:
+                        continue
+                    seen[sel] = (c[pos[sel]] > 0).all(axis=1)
+                return pd.Series(seen)
+
+            return keys.withColumn("maybe_seen", _maybe_seen(F.col(hash_col)))
         shards = self._read_version(version).select("shard", "counters")
+        # no .distinct(): callers probe already-deduped keys, and the
+        # check kernel np.unique's its batch so the flag frame still holds
+        # one row per hash (the join-back multiplicity guard) — dropping
+        # the distinct removes a full shuffle of the key set (r7)
         cand = keys.select(
             F.col(hash_col).alias("url_hash"),
             shard_of(F.col(hash_col), n_shards).alias("shard"),
-        ).distinct()
+        )
 
         def check(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            hashes = left["url_hash"].to_numpy(dtype=np.int64)
+            hashes = np.unique(left["url_hash"].to_numpy(dtype=np.int64))
             if not len(hashes):
                 return pd.DataFrame({"url_hash": [], "maybe_seen": []}).astype(
                     {"url_hash": "int64", "maybe_seen": "int32"}

@@ -228,22 +228,32 @@ class CuckooShardStore:
         if self._version_cache is not None and not refresh:
             return self._version_cache
         try:
-            df = self.spark.read.parquet(self.path)
+            df = self.spark.read.schema(SHARD_SCHEMA).parquet(self.path)
+            row = df.agg(F.max("version")).first()
         except Exception:
-            if not any(
+            # A read failure over a store that HOLDS parquet files must
+            # surface loudly: returning 0 here would silently rebase the
+            # next delta on an empty store — exactly a sometimes-wrong-
+            # schedule bug (VERDICT r6 #1a). The explicit schema already
+            # removes the r6 inference race (an empty/mid-write dir is an
+            # empty frame, not an AnalysisException); what remains is a
+            # genuine I/O failure.
+            if any(
                 f.endswith(".parquet")
                 for _, _, fs in os.walk(self.path)
                 for f in fs
             ):
-                self._version_cache = 0
+                raise
+            self._version_cache = 0
             return 0
-        row = df.agg(F.max("version")).first()
         self._version_cache = int(row[0]) if row[0] is not None else 0
         return self._version_cache
 
     def _read_version(self, version: int) -> DataFrame:
-        return self.spark.read.parquet(self.path).where(
-            F.col("version") == version
+        return (
+            self.spark.read.schema(SHARD_SCHEMA)
+            .parquet(self.path)
+            .where(F.col("version") == version)
         )
 
     # -- mutation ----------------------------------------------------------

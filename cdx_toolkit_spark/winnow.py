@@ -344,13 +344,16 @@ def winnow_overlap_pairs(
             .distinct()
         )
     if max_doc_freq is not None:
-        rare = (
+        # anti-join the tiny ubiquitous set instead of inner-joining the
+        # near-full rare set (r7 — see dedup.ngram_jaccard_pairs): same
+        # rows, one broadcastable exchange instead of a full-table shuffle
+        ubiq = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_doc_freq)
+            .where(F.col("df") > max_doc_freq)
             .select("fp")
         )
-        fps = fps.join(rare, "fp")
+        fps = fps.join(ubiq, "fp", "left_anti")
     sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     inter = (
         fps.alias("a")

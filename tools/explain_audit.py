@@ -545,14 +545,17 @@ def main() -> None:
         ],
     )
 
-    # 8c. trigram language ID: literal-profile scoring is a pure projection
+    # 8c. trigram language ID: one vectorized Arrow stage (r7 — the
+    #     numpy np.isin twin replaced the interpreted per-trigram
+    #     array_contains lambdas; bit-identical, shared oracle), still a
+    #     zero-shuffle map-only plan with no per-row Python
     audit(
         "text_lang_id",
         qs["text_lang_id"](spark, SF_DIR),
         [
             ("zero shuffles", absent(r"Exchange")),
-            ("no Python/Arrow eval",
-             absent(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+            ("one vectorized Arrow stage", contains(r"MapInPandas")),
+            ("no per-row Python eval", absent(r"BatchEvalPython")),
         ],
     )
 
