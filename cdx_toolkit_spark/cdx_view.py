@@ -141,19 +141,36 @@ DOCS_SCHEMA = (
 )
 
 
+# analyzed-plan memo for the derived view (r7): the urlkey/digest
+# expression trees are large, and EVERY CDX entry re-built and re-analyzed
+# them at compose time. DataFrames are immutable, so handing the same
+# analyzed frame to every caller is free; no persist() — this caches the
+# PLAN, not data.
+_VIEW_CACHE: dict = {}
+
+
 def cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the capture view over `{sf_dir}/documents.parquet` (Spark side:
     real SURT over the url column). The explicit schema skips the footer-
-    inference job, so composing a CDX query is entirely job-free."""
+    inference job, so composing a CDX query is entirely job-free; the
+    analyzed view plan is memoized per (applicationId, sf_dir)."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _VIEW_CACHE if k[0] != app]:
+        _VIEW_CACHE.pop(stale, None)
+    key = (app, sf_dir)
+    if key in _VIEW_CACHE:
+        return _VIEW_CACHE[key]
     docs = spark.read.schema(DOCS_SCHEMA).parquet(
         f"{sf_dir}/documents.parquet"
     )
     base = docs.selectExpr(*BASE_EXPRS, f"{_DIGEST_HEX40} AS _digest_hex40")
-    return (
+    out = (
         base.withColumn("urlkey", surt_col("url"))
         .withColumn("digest", b32_from_hex40_col(F.col("_digest_hex40")))
         .select(*CDX_COLUMNS)
     )
+    _VIEW_CACHE[key] = out
+    return out
 
 
 def oracle_cdx_cte() -> str:

@@ -122,8 +122,16 @@ def shingle_table(
     minhash_lsh_pairs + verify_jaccard_pairs over the same corpus: the
     tokenize+shingle pass is the measured cost floor of both kernels, and
     without sharing, a candidates->verify pipeline executes it twice
-    (VERDICT r3 #3). Pass the frame via each kernel's `shingles=`."""
-    return docs.select(
+    (VERDICT r3 #3). Pass the frame via each kernel's `shingles=`.
+
+    r7: the source is spread to cluster parallelism first — a
+    single-row-group corpus file otherwise runs the whole interpreted
+    explode in ONE task (guide §2.5; no-op when the scan already supplies
+    enough partitions)."""
+    from .parallel import spread_for_map
+
+    src = spread_for_map(docs.select(F.col(id_col), F.col(text_col)))
+    return src.select(
         F.col(id_col).alias("doc"),
         F.explode(ngram_shingles_col(n, text_col)).alias("shingle"),
     )
@@ -152,10 +160,9 @@ def ngram_jaccard_pairs(
     computed exactly over the *non-ubiquitous* shingle sets, a well-defined
     semantic the DuckDB oracle mirrors. None = uncapped (fully exact).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(ngram_shingles_col(n, text_col)).alias("shingle"),
-    ).where(F.col("shingle") != "")
+    sh = shingle_table(docs, n, id_col, text_col).where(
+        F.col("shingle") != ""
+    )
     if max_doc_freq is not None:
         # shingles are deduped per-doc, so count(*) per shingle == doc freq.
         # r7: filter by ANTI-joining the UBIQUITOUS set (df > cap) instead
@@ -467,7 +474,11 @@ def simhash_signatures(
     """64-bit SimHash: per-token hash64, per-bit ±1 votes summed per doc,
     sign -> bit. Pure aggregation (64 conditional sums), JVM-side.
     portable=True uses the md5-derived hash (SQL-reproducible)."""
-    toks = docs.select(
+    from .parallel import spread_for_map
+
+    toks = spread_for_map(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_col(text_col)).alias("tok"),
     ).where(F.col("tok") != "")

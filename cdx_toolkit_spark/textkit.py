@@ -337,13 +337,17 @@ def lang_id_table(docs, id_col: str = "doc_id", text_col: str = "text",
     """
     langs = sorted(LANG_TRIGRAMS)
     if impl == "arrow":
+        from .parallel import spread_for_map
+
         id_type = docs.schema[id_col].dataType.simpleString()
         schema = (
             f"{id_col} {id_type}, "
             + ", ".join(f"score_{lg} int" for lg in langs)
             + ", lang string"
         )
-        return docs.select(id_col, text_col).mapInPandas(
+        # spread before the kernel: a single-row-group source otherwise
+        # runs the whole batch on one core (guide §2.5; no-op at scale)
+        return spread_for_map(docs.select(id_col, text_col)).mapInPandas(
             _lang_id_arrow_fn(id_col, text_col), schema=schema
         )
     d = docs.select(

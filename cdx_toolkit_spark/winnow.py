@@ -275,15 +275,23 @@ def winnow_fingerprint_table(
     (numpy work is O(len) with tiny constants vs per-element interpreted
     lambdas). Both are zero-shuffle map stages, so the 100 TB story is
     identical: cost scales with bytes scanned, no hot keys."""
+    from .parallel import spread_for_map
+
     if impl == "arrow":
-        src = docs.select(
-            F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+        src = spread_for_map(
+            docs.select(
+                F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+            )
         )
         return src.mapInPandas(
             _winnow_arrow_fn(k, w, id_col, text_col),
             schema="doc_id long, pos int, fp long",
         )
-    d = docs.select(
+    # r7: spread the source before the per-doc kernel — a single-row-group
+    # corpus file otherwise runs the whole chain in ONE task (guide §2.5)
+    d = spread_for_map(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("doc_id"), winnow_col(text_col, k, w).alias("sel")
     )
     # explode_outer, NOT explode: plain explode injects a `size(sel) > 0 AND
